@@ -1,0 +1,310 @@
+"""Branch-free primitive intersection.
+
+Replaces the reference's per-type ``Hittable::hit`` dynamic dispatch
+(`/root/reference/src/hittable/`) with masked all-compute over gathered
+SoA fields: every ray computes candidate hit distances for the primitive's
+possible types and selects by the integer tag.  Specialisation flags from
+``SceneStatic`` (motion / media / transforms present) prune dead lanes at
+trace time, so e.g. a scene with no media pays nothing for medium code.
+
+All functions are xp-generic (NumPy scalar oracle + jax.numpy renderer).
+
+Semantics sources:
+  sphere      sphere.rs:40-75 (half_b quadratic, nearer root first,
+                               inclusive [t_min, t_max] bounds)
+  moving      moving_sphere.rs:53-95 (center lerped at ray.time)
+  rect        rect.rs:53-86   (axis permutation table, inclusive bounds)
+  medium      constant_medium.rs:34-76 (entry/exit + exponential free flight)
+  aabb        aabb.rs:20-47   (slab test, t_max <= t_min -> miss)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..models.scene import (
+    PT_MEDIUM_BOX,
+    PT_MEDIUM_SPHERE,
+    PT_RECT,
+    PT_SPHERE,
+)
+from . import rng as prng
+
+BIG = np.float32(3.0e38)  # sentinel "miss" distance (finite: avoids inf-inf)
+MEDIUM_REHIT_EPS = np.float32(1.0e-4)  # constant_medium.rs:38
+
+
+class PrimFields(NamedTuple):
+    """Per-ray gathered primitive fields (leading shape B broadcastable)."""
+
+    ptype: np.ndarray  # [B] int32
+    stable_id: np.ndarray  # [B] int32 ordering-independent id (RNG salt)
+    p0: np.ndarray  # [B,3]
+    p1: np.ndarray  # [B,3]
+    radius: np.ndarray  # [B]
+    axis: np.ndarray  # [B] int32
+    time0: np.ndarray  # [B]
+    time1: np.ndarray  # [B]
+    neg_inv_density: np.ndarray  # [B]
+    rot: np.ndarray  # [B,3,3]
+    trans: np.ndarray  # [B,3]
+
+
+def gather_prim(geom, idx) -> PrimFields:
+    """Gather a PrimFields view for primitive indices ``idx`` (any shape)."""
+    return PrimFields(
+        ptype=geom.ptype[idx],
+        stable_id=geom.stable_id[idx],
+        p0=geom.p0[idx],
+        p1=geom.p1[idx],
+        radius=geom.radius[idx],
+        axis=geom.axis[idx],
+        time0=geom.time0[idx],
+        time1=geom.time1[idx],
+        neg_inv_density=geom.neg_inv_density[idx],
+        rot=geom.rot[idx],
+        trans=geom.trans[idx],
+    )
+
+
+def _dot(a, b):
+    return (a * b).sum(-1)
+
+
+def _xform_ray(pf: PrimFields, o, d, xp):
+    """World ray -> object space: o' = R^T (o - t), d' = R^T d.
+
+    Equivalent to translation.rs:24-30 + rotation.rs:102-116 composed.
+    R is orthogonal so |d'| = |d| and the hit parameter t is unchanged.
+    """
+    om = o - pf.trans
+    # R^T x  ==  einsum('...ji,...j->...i'); written with broadcasting so it
+    # works for both NumPy and jax.numpy without einsum-string dispatch.
+    o_obj = (pf.rot * om[..., :, None]).sum(-2)
+    d_obj = (pf.rot * d[..., :, None]).sum(-2)
+    return o_obj, d_obj
+
+
+def _sphere_center(pf: PrimFields, time, has_motion: bool, xp):
+    """moving_sphere.rs:53-57; static spheres have p1 == p0."""
+    if not has_motion:
+        return pf.p0
+    frac = (time - pf.time0) / (pf.time1 - pf.time0)
+    return pf.p0 + frac[..., None] * (pf.p1 - pf.p0)
+
+
+def _sphere_roots(center, radius, o, d, xp):
+    """Both quadratic roots (near, far) and existence mask."""
+    oc = o - center
+    a = _dot(d, d)
+    half_b = _dot(oc, d)
+    c = _dot(oc, oc) - radius * radius
+    disc = half_b * half_b - a * c
+    exists = disc >= 0.0
+    sq = xp.sqrt(xp.maximum(disc, 0.0))
+    t_near = (-half_b - sq) / a
+    t_far = (-half_b + sq) / a
+    return t_near, t_far, exists
+
+
+def sphere_t(pf: PrimFields, o, d, time, t_min, t_max, has_motion, xp):
+    """Nearer-root-first sphere hit (sphere.rs:40-58), BIG on miss."""
+    center = _sphere_center(pf, time, has_motion, xp)
+    t_near, t_far, exists = _sphere_roots(center, pf.radius, o, d, xp)
+    ok1 = exists & (t_near >= t_min) & (t_near <= t_max)
+    ok2 = exists & (t_far >= t_min) & (t_far <= t_max)
+    return xp.where(ok1, t_near, xp.where(ok2, t_far, BIG))
+
+
+def _rect_components(axis, vec, xp):
+    """Select (v[k_axis], v[a_axis], v[b_axis]) by plane tag (rect.rs:54-58)."""
+    x, y, z = vec[..., 0], vec[..., 1], vec[..., 2]
+    # PLANE_XY=0 -> (z, x, y); PLANE_YZ=1 -> (x, y, z); PLANE_ZX=2 -> (y, z, x)
+    vk = xp.where(axis == 0, z, xp.where(axis == 1, x, y))
+    va = xp.where(axis == 0, x, xp.where(axis == 1, y, z))
+    vb = xp.where(axis == 0, y, xp.where(axis == 1, z, x))
+    return vk, va, vb
+
+
+def rect_t(pf: PrimFields, o, d, t_min, t_max, xp):
+    """Axis-aligned rect hit in object space (rect.rs:53-86), BIG on miss."""
+    ok_, oa, ob = _rect_components(pf.axis, o, xp)
+    dk, da, db = _rect_components(pf.axis, d, xp)
+    a0, b0, k = pf.p0[..., 0], pf.p0[..., 1], pf.p0[..., 2]
+    a1, b1 = pf.p1[..., 0], pf.p1[..., 1]
+    t = (k - ok_) / dk  # dk == 0 -> inf/nan -> comparisons fail -> miss
+    a = oa + t * da
+    b = ob + t * db
+    ok = (
+        (t >= t_min) & (t <= t_max)
+        & (a >= a0) & (a <= a1) & (b >= b0) & (b <= b1)
+    )
+    return xp.where(ok, t, BIG)
+
+
+def _medium_scatter_t(t_entry, t_exit, pf, d, t_min, t_max, med_u, xp):
+    """Exponential free-flight sampling inside [entry, exit]
+    (constant_medium.rs:40-76)."""
+    exists = t_exit >= t_entry + MEDIUM_REHIT_EPS
+    t1 = xp.maximum(t_entry, t_min)
+    t2 = xp.minimum(t_exit, t_max)
+    exists = exists & (t1 < t2)
+    t1 = xp.maximum(t1, 0.0)
+    ray_len = xp.sqrt(_dot(d, d))
+    dist_inside = (t2 - t1) * ray_len
+    # ln(U): U in [0,1) -> ln <= 0; nid < 0 -> hit_dist >= 0.  U == 0 gives
+    # +inf -> guaranteed miss, matching the reference's ln(0) behaviour.
+    hit_dist = pf.neg_inv_density * xp.log(med_u)
+    exists = exists & (hit_dist <= dist_inside)
+    t = t1 + hit_dist / ray_len
+    return xp.where(exists, t, BIG)
+
+
+def medium_sphere_t(pf: PrimFields, o, d, t_min, t_max, med_u, xp):
+    t_near, t_far, exists = _sphere_roots(pf.p0, pf.radius, o, d, xp)
+    t = _medium_scatter_t(t_near, t_far, pf, d, t_min, t_max, med_u, xp)
+    return xp.where(exists, t, BIG)
+
+
+def medium_box_t(pf: PrimFields, o, d, t_min, t_max, med_u, xp):
+    """Slab entry/exit == the reference's two closest-rect hits through a
+    cuboid boundary (cuboid.rs via list.rs linear scan)."""
+    inv = 1.0 / d
+    t_lo = (pf.p0 - o) * inv
+    t_hi = (pf.p1 - o) * inv
+    t_entry = xp.minimum(t_lo, t_hi).max(-1)
+    t_exit = xp.maximum(t_lo, t_hi).min(-1)
+    exists = t_exit > t_entry
+    t = _medium_scatter_t(t_entry, t_exit, pf, d, t_min, t_max, med_u, xp)
+    return xp.where(exists, t, BIG)
+
+
+def make_prim_intersector(static):
+    """Returns hit_t(pf, o, d, time, t_min, t_max, ray_bits, xp) -> t.
+
+    ``ray_bits``: per-ray uint32 (per pixel/sample/bounce) from which the
+    media free-flight uniform is derived, salted with ``pf.stable_id`` so the
+    draw is independent of primitive storage order (oracle == scan == BVH).
+    """
+    has_motion = static.has_motion
+    has_media = static.has_media
+    has_xform = static.has_ray_xform
+
+    def hit_t(pf: PrimFields, o, d, time, t_min, t_max, ray_bits, xp):
+        if has_xform:
+            o_obj, d_obj = _xform_ray(pf, o, d, xp)
+        else:
+            o_obj, d_obj = o, d
+
+        t = xp.where(
+            pf.ptype == PT_SPHERE,
+            sphere_t(pf, o_obj, d_obj, time, t_min, t_max, has_motion, xp),
+            BIG,
+        )
+        t = xp.where(
+            pf.ptype == PT_RECT,
+            rect_t(pf, o_obj, d_obj, t_min, t_max, xp),
+            t,
+        )
+        if has_media:
+            med_u = prng.bits_to_uniform(
+                prng.stream_bits(ray_bits, prng.P_MEDIUM,
+                                 pf.stable_id.astype(np.uint32))
+            )
+            t = xp.where(
+                pf.ptype == PT_MEDIUM_SPHERE,
+                medium_sphere_t(pf, o_obj, d_obj, t_min, t_max, med_u, xp),
+                t,
+            )
+            t = xp.where(
+                pf.ptype == PT_MEDIUM_BOX,
+                medium_box_t(pf, o_obj, d_obj, t_min, t_max, med_u, xp),
+                t,
+            )
+        return t
+
+    return hit_t
+
+
+class HitDetail(NamedTuple):
+    point: np.ndarray  # [B,3]
+    normal: np.ndarray  # [B,3] oriented against the ray (hit_record.rs:22-29)
+    front_face: np.ndarray  # [B] bool
+    u: np.ndarray  # [B]
+    v: np.ndarray  # [B]
+
+
+def _sphere_uv(outward, xp):
+    """sphere.rs:31-36: theta = acos(-y), phi = atan2(-z, x) + pi."""
+    theta = xp.arccos(xp.clip(-outward[..., 1], -1.0, 1.0))
+    phi = xp.arctan2(-outward[..., 2], outward[..., 0]) + np.float32(np.pi)
+    return phi * np.float32(0.5 / np.pi), theta * np.float32(1.0 / np.pi)
+
+
+def make_hit_detailer(static):
+    """Returns detail(pf, o, d, time, t) -> HitDetail for winning prims."""
+    has_motion = static.has_motion
+    has_xform = static.has_ray_xform
+
+    def detail(pf: PrimFields, o, d, time, t, xp) -> HitDetail:
+        point = o + t[..., None] * d
+        if has_xform:
+            o_obj, d_obj = _xform_ray(pf, o, d, xp)
+        else:
+            o_obj, d_obj = o, d
+        point_obj = o_obj + t[..., None] * d_obj
+
+        is_sphere = pf.ptype == PT_SPHERE
+        is_rect = pf.ptype == PT_RECT
+
+        # Sphere branch (world frame: sphere transforms are baked).
+        center = _sphere_center(pf, time, has_motion, xp)
+        safe_r = xp.where(pf.radius == 0.0, 1.0, pf.radius)
+        outward_s = (point - center) / safe_r[..., None]
+        su, sv = _sphere_uv(outward_s, xp)
+
+        # Rect branch (object frame).
+        _, oa, ob = _rect_components(pf.axis, o_obj, xp)
+        _, da, db = _rect_components(pf.axis, d_obj, xp)
+        a0, b0 = pf.p0[..., 0], pf.p0[..., 1]
+        a1, b1 = pf.p1[..., 0], pf.p1[..., 1]
+        a = oa + t * da
+        b = ob + t * db
+        ru = (a - a0) / (a1 - a0)
+        rv = (b - b0) / (b1 - b0)
+        # Outward normal: +1 on the k axis (rect.rs:81-83).
+        kx = (pf.axis == 1).astype(np.float32)
+        ky = (pf.axis == 2).astype(np.float32)
+        kz = (pf.axis == 0).astype(np.float32)
+        outward_r_obj = xp.stack([kx, ky, kz], axis=-1)
+        if has_xform:
+            outward_r = (pf.rot * outward_r_obj[..., None, :]).sum(-1)
+        else:
+            outward_r = outward_r_obj
+
+        outward = xp.where(is_sphere[..., None], outward_s,
+                           xp.where(is_rect[..., None], outward_r, 0.0))
+        u = xp.where(is_sphere, su, xp.where(is_rect, ru, 0.0))
+        v = xp.where(is_sphere, sv, xp.where(is_rect, rv, 0.0))
+
+        # set_face_normal (hit_record.rs:22-29). Media keep a zero normal and
+        # front_face false (constant_medium.rs:67-75).
+        front = _dot(d, outward) < 0.0
+        normal = xp.where(front[..., None], outward, -outward)
+        return HitDetail(point=point, normal=normal, front_face=front,
+                         u=u, v=v)
+
+    return detail
+
+
+def aabb_hit(box_min, box_max, o, inv_d, t_min, t_max, xp):
+    """Slab test (aabb.rs:20-47): strict overlap, ``t_max <= t_min`` misses."""
+    t0 = (box_min - o) * inv_d
+    t1 = (box_max - o) * inv_d
+    lo = xp.minimum(t0, t1)
+    hi = xp.maximum(t0, t1)
+    tmin_all = xp.maximum(lo.max(-1), t_min)
+    tmax_all = xp.minimum(hi.min(-1), t_max)
+    return tmax_all > tmin_all

@@ -1,0 +1,222 @@
+"""Wavefront path-tracing integrator.
+
+The reference integrator is a per-pixel recursion
+(`/root/reference/src/application.rs:477-495`):
+
+    ray_color(ray, depth) =
+        depth == 0            -> black
+        miss                  -> background
+        scatter() == None     -> emitted
+        else                  -> emitted + attenuation * ray_color(scattered)
+
+Here the recursion becomes a ``lax.scan`` over ``depth`` bounces carrying the
+whole ray wavefront (origin, direction, shutter time, throughput, accumulated
+radiance, alive mask).  Termination is mask-out, not early exit; the algebra
+
+    radiance += throughput * (miss ? background : emitted)
+    throughput *= attenuation            (only while scattering continues)
+
+telescopes to exactly the reference recursion.
+
+Rays are generated from counter-based RNG streams keyed by
+(seed, pixel, sample), so images are bit-identical across runs, shardings and
+device counts, and the whole function is differentiable w.r.t. every scene
+array (geometry, material, and texture parameters).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import get_rays, make_basis
+from .models.bvh_build import build_bvh
+from .models.scene import Scene
+from .ops import rng as prng
+from .ops.bvh import make_intersector
+from .ops.intersect import gather_prim, make_hit_detailer
+from .ops.materials import shade
+
+T_MIN = np.float32(1.0e-3)  # application.rs:482
+
+# Gradient sky (BASELINE configs 1-2; the book's sky, not in the reference,
+# which uses a flat per-scene background color, application.rs:482-484).
+_SKY_WHITE = np.float32([1.0, 1.0, 1.0])
+_SKY_BLUE = np.float32([0.5, 0.7, 1.0])
+
+# Scenes smaller than this are faster with the dense O(P) scan than with
+# gather-based BVH traversal on a vector machine.
+AUTO_BVH_MIN_PRIMS = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    width: int
+    height: int
+    samples: int
+    depth: int
+    seed: int = 0
+    spp_chunk: Optional[int] = None  # samples per device pass
+    use_bvh: Optional[bool] = None  # None = auto by scene size
+    leaf_size: int = 4
+
+
+def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
+                     use_bvh: bool, leaf_size: int = 4):
+    """Build the jittable wavefront kernel.
+
+    Returns f(arrays, bvh, basis, pixel_ids, sample_ids, seed) -> [N,3]
+    radiance (pre-gamma, pre-averaging).  ``arrays.geom`` must already be in
+    BVH leaf order when ``use_bvh``.
+    """
+    static = scene.static
+    background = scene.background
+    trace = make_intersector(static, use_bvh=use_bvh, leaf_size=leaf_size)
+    detail_fn = make_hit_detailer(static)
+    w_minus_1 = np.float32(width - 1)
+    h_minus_1 = np.float32(height - 1)
+
+    def ray_color(arrays, bvh, basis, pixel_ids, sample_ids, seed):
+        geom = arrays.geom
+        base = prng.ray_base(
+            seed,
+            pixel_ids.astype(jnp.uint32),
+            sample_ids.astype(jnp.uint32),
+        )
+        x = (pixel_ids % width).astype(jnp.float32)
+        y = (pixel_ids // width).astype(jnp.float32)  # row from the BOTTOM
+        ju = prng.uniform(base, prng.P_CAM_JITTER_U)
+        jv = prng.uniform(base, prng.P_CAM_JITTER_V)
+        s = (x + ju) / w_minus_1  # application.rs:443-446
+        t = (y + jv) / h_minus_1
+        o, d, time = get_rays(basis, base, s, t, jnp)
+
+        n = o.shape[0]
+        init = (
+            o,
+            d,
+            jnp.ones((n,), bool),
+            jnp.ones((n, 3), jnp.float32),
+            jnp.zeros((n, 3), jnp.float32),
+        )
+
+        def bounce(carry, bounce_idx):
+            o, d, alive, throughput, radiance = carry
+            bb = prng.bounce_base(base, bounce_idx)
+
+            t_hit, prim = trace(geom, bvh, o, d, time, T_MIN, bb, alive)
+            hit = prim >= 0
+
+            if background is None:  # gradient sky
+                unit_y = d[:, 1] / jnp.sqrt((d * d).sum(-1))
+                sky_t = (0.5 * (unit_y + 1.0))[:, None]
+                bg = (1.0 - sky_t) * _SKY_WHITE + sky_t * _SKY_BLUE
+            else:
+                bg = jnp.asarray(background, jnp.float32)
+            miss = alive & ~hit
+            radiance = radiance + jnp.where(
+                miss[:, None], throughput * bg, 0.0
+            )
+
+            pidx = jnp.maximum(prim, 0)
+            pf = gather_prim(geom, pidx)
+            det = detail_fn(pf, o, d, time, t_hit, jnp)
+            mat_idx = geom.material[pidx]
+            sc = shade(arrays, mat_idx, det, d, bb, static, jnp)
+
+            contrib = alive & hit
+            radiance = radiance + jnp.where(
+                contrib[:, None], throughput * sc.emitted, 0.0
+            )
+            alive = contrib & sc.did_scatter
+            throughput = jnp.where(
+                alive[:, None], throughput * sc.attenuation, throughput
+            )
+            o = jnp.where(alive[:, None], det.point, o)
+            d = jnp.where(alive[:, None], sc.direction, d)
+            return (o, d, alive, throughput, radiance), None
+
+        (o, d, alive, throughput, radiance), _ = jax.lax.scan(
+            bounce, init, jnp.arange(depth, dtype=jnp.uint32)
+        )
+        return radiance
+
+    return ray_color
+
+
+def prepare_scene(scene: Scene, use_bvh: Optional[bool] = None,
+                  leaf_size: int = 4):
+    """Resolve the BVH decision and produce device-ready arrays.
+
+    Returns (arrays, bvh_arrays_or_dummy, use_bvh).
+    """
+    if use_bvh is None:
+        use_bvh = scene.static.n_prims >= AUTO_BVH_MIN_PRIMS
+    arrays = scene.arrays
+    if use_bvh:
+        bvh, geom = build_bvh(arrays.geom, leaf_size=leaf_size)
+        arrays = arrays._replace(geom=geom)
+    else:
+        from .models.bvh_build import BVHArrays
+
+        bvh = BVHArrays(
+            bounds_min=np.zeros((1, 3), np.float32),
+            bounds_max=np.zeros((1, 3), np.float32),
+            leaf_first=np.zeros(1, np.int32),
+            leaf_count=np.zeros(1, np.int32),
+            skip=np.ones(1, np.int32),
+        )
+    return arrays, bvh, use_bvh
+
+
+def render_image(scene: Scene, settings: RenderSettings,
+                 progress_cb=None) -> np.ndarray:
+    """Render a full image; returns [H, W, 3] float32, gamma-corrected
+    (sqrt, application.rs:451-453), rows top-down."""
+    W, H = settings.width, settings.height
+    arrays, bvh, use_bvh = prepare_scene(
+        scene, settings.use_bvh, settings.leaf_size
+    )
+    basis = make_basis(scene.camera, W, H)
+    ray_color = make_ray_colorer(
+        scene, W, H, settings.depth, use_bvh, settings.leaf_size
+    )
+
+    spp_chunk = settings.spp_chunk or _auto_spp_chunk(W, H, settings.samples)
+
+    def _render_chunk(arrays, bvh, basis, sample0, n_samples_static, seed):
+        pix = jnp.arange(W * H, dtype=jnp.int32)
+        pixel_ids = jnp.tile(pix, n_samples_static)
+        sample_ids = jnp.repeat(
+            sample0 + jnp.arange(n_samples_static, dtype=jnp.int32), W * H
+        )
+        rad = ray_color(arrays, bvh, basis, pixel_ids, sample_ids, seed)
+        return rad.reshape(n_samples_static, W * H, 3).sum(0)
+
+    render_chunk = jax.jit(_render_chunk, static_argnums=(4,))
+
+    acc = np.zeros((W * H, 3), np.float64)
+    seed = np.uint32(settings.seed)
+    s = 0
+    while s < settings.samples:
+        ns = min(spp_chunk, settings.samples - s)
+        acc += np.asarray(
+            render_chunk(arrays, bvh, basis, np.int32(s), int(ns), seed)
+        )
+        s += ns
+        if progress_cb is not None:
+            progress_cb(s, settings.samples)
+
+    img = np.sqrt(np.maximum(acc / settings.samples, 0.0)).astype(np.float32)
+    img = img.reshape(H, W, 3)
+    return img[::-1]  # bottom-up rows -> top-down PNG order
+
+
+def _auto_spp_chunk(width: int, height: int, samples: int,
+                    budget_rays: int = 4_000_000) -> int:
+    per_image = width * height
+    return max(1, min(samples, budget_rays // max(per_image, 1)))

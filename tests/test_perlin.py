@@ -1,0 +1,63 @@
+"""Perlin noise: determinism, range, np/jnp agreement, reference quirks."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hyper_ray_tracer_tpu.ops import perlin
+
+
+def test_tables_deterministic():
+    a = perlin.make_tables(0)
+    b = perlin.make_tables(0)
+    np.testing.assert_array_equal(a.vectors, b.vectors)
+    np.testing.assert_array_equal(a.perm_x, b.perm_x)
+    c = perlin.make_tables(1)
+    assert not np.array_equal(a.perm_x, c.perm_x)
+
+
+def test_vectors_unit_norm():
+    t = perlin.make_tables(0)
+    np.testing.assert_allclose(
+        np.linalg.norm(t.vectors, axis=-1), 1.0, atol=1e-5
+    )
+    for p in (t.perm_x, t.perm_y, t.perm_z):
+        assert sorted(p.tolist()) == list(range(256))
+
+
+def test_noise_range_and_lattice_zero():
+    t = perlin.make_tables(0)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-50, 50, (10_000, 3)).astype(np.float32)
+    n = perlin.noise(t, pts, np)
+    assert np.abs(n).max() <= 1.0 + 1e-5
+    # At integer lattice points the smoothed weights collapse to the single
+    # corner gradient dotted with a zero weight vector -> noise == 0.
+    lat = rng.integers(-10, 10, (100, 3)).astype(np.float32)
+    np.testing.assert_allclose(perlin.noise(t, lat, np), 0.0, atol=1e-6)
+
+
+def test_negative_coords_wrap():
+    t = perlin.make_tables(0)
+    p = np.float32([[-3.25, -7.5, -100.75]])
+    v = perlin.noise(t, p, np)
+    assert np.isfinite(v).all()
+
+
+def test_turbulence_positive_and_deterministic():
+    t = perlin.make_tables(0)
+    pts = np.random.default_rng(1).uniform(-5, 5, (1000, 3)).astype(np.float32)
+    a = perlin.turbulence(t, pts, np)
+    b = perlin.turbulence(t, pts, np)
+    np.testing.assert_array_equal(a, b)
+    assert (a >= 0).all()
+
+
+def test_numpy_jax_agree():
+    t = perlin.make_tables(0)
+    pts = np.random.default_rng(2).uniform(-20, 20, (512, 3)).astype(np.float32)
+    a = perlin.noise(t, pts, np)
+    b = perlin.noise(t, jnp.asarray(pts), jnp)
+    np.testing.assert_allclose(a, np.asarray(b), atol=2e-6)
+    ta = perlin.turbulence(t, pts, np)
+    tb = perlin.turbulence(t, jnp.asarray(pts), jnp)
+    np.testing.assert_allclose(ta, np.asarray(tb), atol=1e-5)
