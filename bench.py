@@ -1,0 +1,89 @@
+"""Benchmark: camera-ray throughput on the flagship (final) scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+Measures the full wavefront forward pass (BVH traversal + shading, depth
+bounces) on whatever accelerator JAX picks (the real TPU chip under the
+driver).  The metric is *camera* Mrays/s — total paths started per second;
+each camera ray additionally traces up to ``DEPTH`` bounce segments.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor
+is a documented estimate of the Rust reference's multicore-CPU throughput on
+this scene (~1.0 Mrays/s camera rays: its default workload is 92.16M camera
+rays and renders of that class take on the order of minutes on 8 CPU cores;
+the final scene with depth 10 is heavier still).  Treat vs_baseline as
+"speedup over the reference-class CPU renderer", not a measured artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CPU_MRAYS = 1.0  # estimated Rust-reference multicore CPU camera Mrays/s
+
+W, H, SPP, DEPTH = 400, 225, 16, 10
+SCENE = "final"
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from hyper_ray_tracer_tpu import build_scene
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.render import make_ray_colorer, prepare_scene
+
+    scene = build_scene(SCENE)
+    arrays, bvh, use_bvh = prepare_scene(scene)
+    basis = make_basis(scene.camera, W, H)
+    ray_color = make_ray_colorer(scene, W, H, DEPTH, use_bvh)
+
+    n_rays = W * H * SPP
+    pixel_ids = np.tile(np.arange(W * H, dtype=np.int32), SPP)
+    sample_ids = np.repeat(np.arange(SPP, dtype=np.int32), W * H)
+
+    fn = jax.jit(ray_color)
+    args = (jax.device_put(arrays), jax.device_put(bvh),
+            jax.device_put(basis), jnp.asarray(pixel_ids),
+            jnp.asarray(sample_ids), np.uint32(0))
+
+    # Warmup: compile + first-transfer tunnel handshake.
+    out = fn(*args)
+    out.block_until_ready()
+    _ = np.asarray(out[:8])
+
+    reps = 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        out.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+
+    mrays = n_rays / best / 1e6
+    mean = float(np.asarray(out).mean())
+    print(
+        json.dumps(
+            {
+                "metric": f"{SCENE}_scene_camera_mrays_per_s_fwd_depth{DEPTH}",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / BASELINE_CPU_MRAYS, 3),
+            }
+        )
+    )
+    print(
+        f"# {W}x{H}x{SPP}spp depth {DEPTH} on {jax.devices()[0]}: "
+        f"{best*1e3:.1f} ms best-of-{reps}, mean radiance {mean:.4f}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""CLI entry point: ``python -m hyper_ray_tracer_tpu``.
+
+Keeps the reference's six flags and defaults
+(`/root/reference/src/arguments.rs:21-47`: --width 1280 --height 720
+--samples 100 --depth 10 --tile-size 80 --scene random) plus TPU-native
+extras (output path, seed, checkpoint/resume, device selection).  The GLFW
+window (application.rs:84-121) is replaced by a PNG file and an optional
+progressive preview.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .models.builders import SCENES
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="hyper_ray_tracer_tpu",
+        description="TPU-native differentiable Monte-Carlo path tracer",
+    )
+    # Reference flags (arguments.rs:24-46).
+    parser.add_argument("--width", type=int, default=1280,
+                        help="Width of the image")
+    parser.add_argument("--height", type=int, default=720,
+                        help="Height of the image")
+    parser.add_argument("--samples", type=int, default=100,
+                        help="Samples per pixel")
+    parser.add_argument("--depth", type=int, default=10, help="Max depth")
+    parser.add_argument("--tile-size", type=int, default=80,
+                        help="Accepted for reference-CLI parity; sample "
+                             "chunking replaces tiles (see --spp-chunk)")
+    parser.add_argument("--scene", choices=sorted(SCENES), default="random")
+    # TPU-native extras.
+    parser.add_argument("--output", default=None,
+                        help="Output PNG path (default: <scene>.png)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--spp-chunk", type=int, default=None,
+                        help="Samples per device pass (default: auto)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="Checkpoint file; resumes if it exists")
+    parser.add_argument("--preview", default=None,
+                        help="Progressive preview PNG updated per chunk")
+    parser.add_argument("--no-bvh", action="store_true",
+                        help="Force the brute-force intersector")
+    parser.add_argument("--leaf-size", type=int, default=4)
+    parser.add_argument("--cpu", action="store_true",
+                        help="Run on CPU instead of TPU")
+    parser.add_argument("--verbosity", type=int, default=2,
+                        help="0=warn 1=info 2=debug (logger.rs:45-51)")
+    args = parser.parse_args(argv)
+
+    from .utils.logging import init as log_init
+
+    log = log_init(args.verbosity)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from . import build_scene
+    from .render import RenderSettings, render_image
+    from .utils.image import write_png
+
+    log.info("Generating world...")
+    scene = build_scene(args.scene)
+    log.info("Generated world (%d primitives)", scene.static.n_prims)
+
+    settings = RenderSettings(
+        width=args.width, height=args.height, samples=args.samples,
+        depth=args.depth, seed=args.seed, spp_chunk=args.spp_chunk,
+        use_bvh=False if args.no_bvh else None, leaf_size=args.leaf_size,
+        checkpoint_path=args.checkpoint, preview_path=args.preview,
+    )
+
+    t0 = time.monotonic()
+
+    def progress(done, total):
+        log.info("progress: %d/%d spp (%.1fs)", done, total,
+                 time.monotonic() - t0)
+
+    img = render_image(scene, settings, progress_cb=progress)
+    dt = time.monotonic() - t0
+
+    out = args.output or f"{args.scene}.png"
+    write_png(out, img)
+    # Completion summary, mirroring application.rs:266-277.
+    minutes, seconds = divmod(int(dt), 60)
+    log.info("Rendering finished in %02d:%02d", minutes, seconds)
+    log.info("Image Info - Width: %d, Height: %d, Samples: %d, Depth: %d, "
+             "Objects: %d", args.width, args.height, args.samples,
+             args.depth, scene.static.n_prims)
+    log.info("wrote %s", out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -111,15 +111,15 @@ def build_bvh(
     amin = np.asarray(geom.aabb_min)[idx_real]
     amax = np.asarray(geom.aabb_max)[idx_real]
 
-    builder = None
+    result = None
     if use_native and native_build_bvh is not None:
-        builder = native_build_bvh
-    if builder is not None:
-        bmin, bmax, first, count, skip, perm = builder(amin, amax, leaf_size)
-    else:
-        bmin, bmax, first, count, skip, perm = _build_numpy(
-            amin, amax, leaf_size
-        )
+        try:
+            result = native_build_bvh(amin, amax, leaf_size)
+        except RuntimeError:
+            result = None  # no toolchain / load failure: NumPy fallback
+    if result is None:
+        result = _build_numpy(amin, amax, leaf_size)
+    bmin, bmax, first, count, skip, perm = result
 
     order = idx_real[perm]
 

@@ -36,8 +36,10 @@ def make_scan_intersector(static):
     n_prims = static.n_prims
 
     def scan_all(geom, o, d, time, t_min, ray_bits, active):
-        n_rays = o.shape[0]
-        t0 = jnp.where(active, jnp.float32(BIG), jnp.float32(-BIG))
+        # Derive loop carries from ray data so they are device-varying under
+        # shard_map (constant inits would fail the scan carry type check).
+        vary0 = o[..., 0] * 0.0
+        t0 = jnp.where(active, BIG + vary0, jnp.float32(-BIG))
 
         def body(p, carry):
             t_best, best = carry
@@ -48,7 +50,7 @@ def make_scan_intersector(static):
 
         t_best, best = jax.lax.fori_loop(
             0, n_prims, body,
-            (t0, jnp.full((n_rays,), -1, jnp.int32)),
+            (t0, vary0.astype(jnp.int32) - 1),
         )
         t_best = jnp.where(active, t_best, BIG)
         return t_best, best
@@ -60,13 +62,14 @@ def make_bvh_traverser(static, leaf_size: int):
     hit_t = make_prim_intersector(static)
 
     def traverse(bvh, geom, o, d, time, t_min, ray_bits, active):
-        n_rays = o.shape[0]
         n_nodes = bvh.skip.shape[0]
         inv_d = 1.0 / d
 
-        node0 = jnp.where(active, 0, n_nodes).astype(jnp.int32)
-        t_best0 = jnp.full((n_rays,), BIG, jnp.float32)
-        best0 = jnp.full((n_rays,), -1, jnp.int32)
+        # Carries derived from ray data: device-varying under shard_map.
+        ivary0 = (o[..., 0] * 0.0).astype(jnp.int32)
+        node0 = jnp.where(active, ivary0, n_nodes).astype(jnp.int32)
+        t_best0 = ivary0.astype(jnp.float32) + BIG
+        best0 = ivary0 - 1
 
         def cond(carry):
             node, _, _ = carry

@@ -31,6 +31,7 @@ from ..models.scene import (
     PT_SPHERE,
 )
 from . import rng as prng
+from .math import sqrt_capped_grad
 
 BIG = np.float32(3.0e38)  # sentinel "miss" distance (finite: avoids inf-inf)
 MEDIUM_REHIT_EPS = np.float32(1.0e-4)  # constant_medium.rs:38
@@ -96,14 +97,19 @@ def _sphere_center(pf: PrimFields, time, has_motion: bool, xp):
 
 
 def _sphere_roots(center, radius, o, d, xp):
-    """Both quadratic roots (near, far) and existence mask."""
+    """Both quadratic roots (near, far) and existence mask.
+
+    NaN-safe for autodiff: sqrt sees a positive argument on miss lanes
+    (sqrt'(0) = inf would otherwise turn masked-out cotangents into NaN via
+    the 0 * inf rule).
+    """
     oc = o - center
     a = _dot(d, d)
     half_b = _dot(oc, d)
     c = _dot(oc, oc) - radius * radius
     disc = half_b * half_b - a * c
     exists = disc >= 0.0
-    sq = xp.sqrt(xp.maximum(disc, 0.0))
+    sq = sqrt_capped_grad(xp.where(exists, xp.maximum(disc, 1e-30), 1.0), xp)
     t_near = (-half_b - sq) / a
     t_far = (-half_b + sq) / a
     return t_near, t_far, exists
@@ -134,11 +140,16 @@ def rect_t(pf: PrimFields, o, d, t_min, t_max, xp):
     dk, da, db = _rect_components(pf.axis, d, xp)
     a0, b0, k = pf.p0[..., 0], pf.p0[..., 1], pf.p0[..., 2]
     a1, b1 = pf.p1[..., 0], pf.p1[..., 1]
-    t = (k - ok_) / dk  # dk == 0 -> inf/nan -> comparisons fail -> miss
+    # Safe division: a zero dk is masked out explicitly (the reference
+    # rejects it via an inf t); dividing by the raw 0 would inject NaN into
+    # gradients of masked lanes (0 * inf).
+    parallel = dk == 0.0
+    t = (k - ok_) / xp.where(parallel, 1.0, dk)
     a = oa + t * da
     b = ob + t * db
     ok = (
-        (t >= t_min) & (t <= t_max)
+        ~parallel
+        & (t >= t_min) & (t <= t_max)
         & (a >= a0) & (a <= a1) & (b >= b0) & (b <= b1)
     )
     return xp.where(ok, t, BIG)
@@ -171,7 +182,10 @@ def medium_sphere_t(pf: PrimFields, o, d, t_min, t_max, med_u, xp):
 def medium_box_t(pf: PrimFields, o, d, t_min, t_max, med_u, xp):
     """Slab entry/exit == the reference's two closest-rect hits through a
     cuboid boundary (cuboid.rs via list.rs linear scan)."""
-    inv = 1.0 / d
+    # Tiny-magnitude floor keeps axis-parallel rays finite (same slab
+    # outcome) without inf primals that would NaN masked-lane gradients.
+    d_safe = xp.where(xp.abs(d) < 1e-20, 1e-20, d)
+    inv = 1.0 / d_safe
     t_lo = (pf.p0 - o) * inv
     t_hi = (pf.p1 - o) * inv
     t_entry = xp.minimum(t_lo, t_hi).max(-1)
@@ -237,9 +251,17 @@ class HitDetail(NamedTuple):
 
 
 def _sphere_uv(outward, xp):
-    """sphere.rs:31-36: theta = acos(-y), phi = atan2(-z, x) + pi."""
-    theta = xp.arccos(xp.clip(-outward[..., 1], -1.0, 1.0))
-    phi = xp.arctan2(-outward[..., 2], outward[..., 0]) + np.float32(np.pi)
+    """sphere.rs:31-36: theta = acos(-y), phi = atan2(-z, x) + pi.
+
+    Clipped a hair inside [-1, 1] (and atan2 nudged off (0,0)) so pole hits
+    have finite uv gradients; the primal shift is < 2e-4 in v exactly at the
+    poles (oracle.py applies the identical clip).
+    """
+    theta = xp.arccos(xp.clip(-outward[..., 1], -(1.0 - 1e-7), 1.0 - 1e-7))
+    x = outward[..., 0]
+    z = outward[..., 2]
+    x = xp.where((x == 0.0) & (z == 0.0), 1e-20, x)
+    phi = xp.arctan2(-z, x) + np.float32(np.pi)
     return phi * np.float32(0.5 / np.pi), theta * np.float32(1.0 / np.pi)
 
 
@@ -272,8 +294,12 @@ def make_hit_detailer(static):
         a1, b1 = pf.p1[..., 0], pf.p1[..., 1]
         a = oa + t * da
         b = ob + t * db
-        ru = (a - a0) / (a1 - a0)
-        rv = (b - b0) / (b1 - b0)
+        # Safe denominators: non-rect lanes have a1 == a0 (0/0 would NaN
+        # sphere-lane gradients through the masked select).
+        da_span = xp.where(a1 > a0, a1 - a0, 1.0)
+        db_span = xp.where(b1 > b0, b1 - b0, 1.0)
+        ru = (a - a0) / da_span
+        rv = (b - b0) / db_span
         # Outward normal: +1 on the k axis (rect.rs:81-83).
         kx = (pf.axis == 1).astype(np.float32)
         ky = (pf.axis == 2).astype(np.float32)

@@ -103,8 +103,10 @@ def shade(arrays, mat_idx, hit, d, bb, static, xp) -> ScatterResult:
         ratio = xp.where(hit.front_face, 1.0 / ior, ior)
         unit_d = m.normalize(d, xp)
         cos_theta = xp.minimum((-unit_d * normal).sum(-1), 1.0)
-        sin_theta = xp.sqrt(xp.maximum(0.0, 1.0 - cos_theta * cos_theta))
-        cannot_refract = (ratio * sin_theta) > 1.0
+        # Compare sin^2 to avoid sqrt(0) at normal incidence (NaN-safe VJP);
+        # ratio >= 0 so the squared comparison is equivalent.
+        sin2 = xp.maximum(0.0, 1.0 - cos_theta * cos_theta)
+        cannot_refract = (ratio * ratio * sin2) > 1.0
         u = prng.uniform(bb, prng.P_DIELECTRIC)
         use_reflect = cannot_refract | (m.reflectance(cos_theta, ratio) > u)
         refl = m.reflect(unit_d, normal)

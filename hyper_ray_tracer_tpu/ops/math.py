@@ -24,6 +24,49 @@ from __future__ import annotations
 
 import numpy as np
 
+_SQRT_GRAD_CAP = 1.0e5
+
+
+def _make_capped_sqrt():
+    """sqrt with a bounded derivative (JAX only; lazy import).
+
+    At geometric silhouettes (ray grazing a sphere) the discriminant crosses
+    zero and d sqrt/d disc -> inf, overflowing f32 gradients for pixels that
+    land within ~1e-7 of tangency (guaranteed somewhere along a horizon).
+    The primal is exact; only the VJP is clipped — the standard edge-gradient
+    treatment for differentiable ray tracing.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.custom_vjp
+    def f(x):
+        return jnp.sqrt(x)
+
+    def fwd(x):
+        y = jnp.sqrt(x)
+        return y, y
+
+    def bwd(y, g):
+        grad = jnp.minimum(0.5 / jnp.maximum(y, 1e-30), _SQRT_GRAD_CAP)
+        return (g * grad,)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_capped_sqrt = None
+
+
+def sqrt_capped_grad(x, xp):
+    """Exact sqrt; derivative clipped to avoid silhouette gradient blowup."""
+    global _capped_sqrt
+    if xp is np:
+        return np.sqrt(x)
+    if _capped_sqrt is None:
+        _capped_sqrt = _make_capped_sqrt()
+    return _capped_sqrt(x)
+
 
 def dot(a, b, keepdims: bool = True):
     return (a * b).sum(-1, keepdims=keepdims)
@@ -49,7 +92,12 @@ def refract(uv, n, etai_over_etat, xp):
     """
     cos_theta = xp.minimum(dot(-uv, n), 1.0)
     r_out_perp = etai_over_etat * (uv + cos_theta * n)
-    r_out_parallel = -xp.sqrt(xp.abs(1.0 - dot(r_out_perp, r_out_perp))) * n
+    # max vs tiny: sqrt'(0) = inf would NaN gradients of masked TIR lanes;
+    # primal change is at most 1e-6 exactly at grazing incidence.
+    r_out_parallel = (
+        -xp.sqrt(xp.maximum(xp.abs(1.0 - dot(r_out_perp, r_out_perp)),
+                            1e-12)) * n
+    )
     return r_out_perp + r_out_parallel
 
 

@@ -192,8 +192,9 @@ class Oracle:
             else:
                 center = g.p0[i]
             outward = (point - center) / float(g.radius[i])
-            theta = np.arccos(np.clip(-outward[1], -1.0, 1.0))
-            phi = np.arctan2(-outward[2], outward[0]) + np.pi
+            theta = np.arccos(np.clip(-outward[1], -(1.0 - 1e-7), 1.0 - 1e-7))
+            ox = 1e-20 if (outward[0] == 0.0 and outward[2] == 0.0) else outward[0]
+            phi = np.arctan2(-outward[2], ox) + np.pi
             u, v = phi / (2 * np.pi), theta / np.pi
         elif pt == PT_RECT:
             rot = g.rot[i]

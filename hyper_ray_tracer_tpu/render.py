@@ -38,7 +38,12 @@ from .models.bvh_build import build_bvh
 from .models.scene import Scene
 from .ops import rng as prng
 from .ops.bvh import make_intersector
-from .ops.intersect import gather_prim, make_hit_detailer
+from .ops.intersect import (
+    BIG,
+    gather_prim,
+    make_hit_detailer,
+    make_prim_intersector,
+)
 from .ops.materials import shade
 
 T_MIN = np.float32(1.0e-3)  # application.rs:482
@@ -63,6 +68,13 @@ class RenderSettings:
     spp_chunk: Optional[int] = None  # samples per device pass
     use_bvh: Optional[bool] = None  # None = auto by scene size
     leaf_size: int = 4
+    # Resumable rendering (SURVEY.md §5): persist the radiance accumulator
+    # after every chunk; a resumed render is bit-identical to an
+    # uninterrupted one (counter-based RNG).
+    checkpoint_path: Optional[str] = None
+    # Progressive preview PNG updated after every chunk (replaces the
+    # reference's incremental GL tile display).
+    preview_path: Optional[str] = None
 
 
 def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
@@ -76,6 +88,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     static = scene.static
     background = scene.background
     trace = make_intersector(static, use_bvh=use_bvh, leaf_size=leaf_size)
+    prim_hit_t = make_prim_intersector(static)
     detail_fn = make_hit_detailer(static)
     w_minus_1 = np.float32(width - 1)
     h_minus_1 = np.float32(height - 1)
@@ -95,20 +108,31 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         t = (y + jv) / h_minus_1
         o, d, time = get_rays(basis, base, s, t, jnp)
 
-        n = o.shape[0]
+        # Carries derived from ray data (not fresh constants) so they are
+        # device-varying under shard_map.
+        zero3 = o * 0.0
         init = (
             o,
             d,
-            jnp.ones((n,), bool),
-            jnp.ones((n, 3), jnp.float32),
-            jnp.zeros((n, 3), jnp.float32),
+            zero3[:, 0] + 1.0 > 0.0,  # alive: all True
+            zero3 + 1.0,  # throughput
+            zero3,  # radiance
         )
 
         def bounce(carry, bounce_idx):
             o, d, alive, throughput, radiance = carry
             bb = prng.bounce_base(base, bounce_idx)
 
-            t_hit, prim = trace(geom, bvh, o, d, time, T_MIN, bb, alive)
+            # Traversal is a discrete search: stop gradients through it and
+            # differentiably *recompute* the winner's hit distance below.
+            # This keeps the whole bounce reverse-mode differentiable (the
+            # BVH while_loop has no VJP) and shrinks backward residuals from
+            # O(P) per bounce to O(1).
+            t_hit, prim = trace(
+                geom, bvh, jax.lax.stop_gradient(o),
+                jax.lax.stop_gradient(d), time, T_MIN, bb, alive,
+            )
+            t_hit = jax.lax.stop_gradient(t_hit)
             hit = prim >= 0
 
             if background is None:  # gradient sky
@@ -124,7 +148,22 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
 
             pidx = jnp.maximum(prim, 0)
             pf = gather_prim(geom, pidx)
-            det = detail_fn(pf, o, d, time, t_hit, jnp)
+            # Differentiable recompute of the winning hit distance: for the
+            # winner the same closed form evaluates to the traversal's t
+            # (media free-flight t does not depend on t_max; spheres always
+            # resolve to the same root), but now with gradients to geometry.
+            t_re = prim_hit_t(pf, o, d, time, T_MIN, jnp.float32(BIG), bb,
+                              jnp)
+            # Miss lanes get a dummy finite t: with t = BIG the hit point
+            # overflows to inf and inf/NaN primals on masked lanes corrupt
+            # gradients of live lanes (0-cotangent * inf = NaN in VJPs).
+            # Grazing hits can recompute to a miss (the discriminant lands on
+            # the other side of 0 under different op fusion); fall back to
+            # the traversal's t there — gradient-free, but it is a
+            # decision-boundary lane anyway.
+            re_ok = t_re < jnp.float32(0.5) * BIG
+            t_use = jnp.where(hit, jnp.where(re_ok, t_re, t_hit), 1.0)
+            det = detail_fn(pf, o, d, time, t_use, jnp)
             mat_idx = geom.material[pidx]
             sc = shade(arrays, mat_idx, det, d, bb, static, jnp)
 
@@ -173,10 +212,22 @@ def prepare_scene(scene: Scene, use_bvh: Optional[bool] = None,
     return arrays, bvh, use_bvh
 
 
+def _gamma_image(acc: np.ndarray, samples: int, W: int, H: int) -> np.ndarray:
+    """sqrt-gamma (application.rs:451-453), bottom-up rows -> top-down."""
+    img = np.sqrt(np.maximum(acc / samples, 0.0)).astype(np.float32)
+    return img.reshape(H, W, 3)[::-1]
+
+
 def render_image(scene: Scene, settings: RenderSettings,
                  progress_cb=None) -> np.ndarray:
     """Render a full image; returns [H, W, 3] float32, gamma-corrected
     (sqrt, application.rs:451-453), rows top-down."""
+    import time as _time
+
+    from .utils import checkpoint as ckpt
+    from .utils.logging import get as get_logger
+
+    log = get_logger()
     W, H = settings.width, settings.height
     arrays, bvh, use_bvh = prepare_scene(
         scene, settings.use_bvh, settings.leaf_size
@@ -199,21 +250,49 @@ def render_image(scene: Scene, settings: RenderSettings,
 
     render_chunk = jax.jit(_render_chunk, static_argnums=(4,))
 
+    meta = dict(scene=scene.name, width=W, height=H,
+                samples=settings.samples, depth=settings.depth,
+                seed=settings.seed)
     acc = np.zeros((W * H, 3), np.float64)
-    seed = np.uint32(settings.seed)
     s = 0
+    if settings.checkpoint_path:
+        state = ckpt.load_state(settings.checkpoint_path)
+        if state is not None:
+            c_acc, c_done, c_meta = state
+            if ckpt.meta_matches(c_meta, meta) and c_acc.shape == acc.shape:
+                acc, s = c_acc.astype(np.float64), c_done
+                log.info("resumed render at %d/%d spp from %s",
+                         s, settings.samples, settings.checkpoint_path)
+            else:
+                log.warning("checkpoint %s does not match render config; "
+                            "starting fresh", settings.checkpoint_path)
+
+    seed = np.uint32(settings.seed)
+    t_start = _time.monotonic()
+    rays_done = 0
     while s < settings.samples:
         ns = min(spp_chunk, settings.samples - s)
         acc += np.asarray(
             render_chunk(arrays, bvh, basis, np.int32(s), int(ns), seed)
         )
         s += ns
+        rays_done += ns * W * H
+        if settings.checkpoint_path:
+            ckpt.save_state(settings.checkpoint_path, acc, s, meta)
+        if settings.preview_path:
+            from .utils.image import write_png
+
+            write_png(settings.preview_path,
+                      _gamma_image(acc, s, W, H))
         if progress_cb is not None:
             progress_cb(s, settings.samples)
 
-    img = np.sqrt(np.maximum(acc / settings.samples, 0.0)).astype(np.float32)
-    img = img.reshape(H, W, 3)
-    return img[::-1]  # bottom-up rows -> top-down PNG order
+    dt = _time.monotonic() - t_start
+    if rays_done and dt > 0:
+        log.debug("rendered %d camera rays in %.2fs (%.2f Mrays/s, "
+                  "depth<=%d)", rays_done, dt, rays_done / dt / 1e6,
+                  settings.depth)
+    return _gamma_image(acc, settings.samples, W, H)
 
 
 def _auto_spp_chunk(width: int, height: int, samples: int,

@@ -1,0 +1,115 @@
+"""Differentiable rendering / inverse-rendering training step.
+
+The reference has no training of any kind; differentiability is the north
+star beyond the reference (BASELINE.json): the whole wavefront forward pass
+is ``jax.grad``-able w.r.t. geometry (sphere centers/radii), materials
+(albedo/fuzz/IOR), and texture parameters (colors, noise scale, image
+texels).
+
+Gradient conventions for discrete events (SURVEY.md §7 "hard parts"):
+* hit/miss, BVH visit order, reflect-vs-refract Bernoulli, checker sign and
+  texel choice are *fixed decisions* of the primal — gradients flow through
+  the continuous quantities (hit t, scatter direction, Schlick weight is a
+  sampled branch, attenuation colors) and not through the decision
+  boundaries.  Finite-difference checks therefore hold at configurations
+  where an epsilon does not flip a decision (tests/test_grad.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .models.scene import Scene
+from .render import make_ray_colorer
+
+# SceneArrays leaves that are trainable.  Everything else (type tags, ids,
+# AABBs, BVH, perlin permutation tables) stays fixed.
+PARAM_PATHS = (
+    ("geom", "p0"),
+    ("geom", "p1"),
+    ("geom", "radius"),
+    ("materials", "albedo"),
+    ("materials", "fuzz"),
+    ("materials", "ior"),
+    ("textures", "color1"),
+    ("textures", "color2"),
+    ("textures", "scale"),
+    ("images", None),
+)
+
+
+def extract_params(arrays):
+    params = {}
+    for group, field in PARAM_PATHS:
+        node = getattr(arrays, group)
+        params[f"{group}.{field}"] = (
+            node if field is None else getattr(node, field)
+        )
+    return params
+
+
+def merge_params(arrays, params):
+    for group, field in PARAM_PATHS:
+        key = f"{group}.{field}"
+        if field is None:
+            arrays = arrays._replace(**{group: params[key]})
+        else:
+            node = getattr(arrays, group)._replace(**{field: params[key]})
+            arrays = arrays._replace(**{group: node})
+    return arrays
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+
+
+def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
+                 use_bvh: bool, leaf_size: int = 4):
+    """loss(params, arrays, bvh, basis, pixel_ids, sample_ids, seed, target)
+    = mean squared error between mean radiance and a target image
+    ([W*H, 3], linear radiance, bottom-up rows)."""
+    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size)
+
+    def loss_fn(params, arrays, bvh, basis, pixel_ids, sample_ids, seed,
+                target):
+        arrays = merge_params(arrays, params)
+        s_blk = pixel_ids.shape[0]
+        rad = ray_color(arrays, bvh, basis, pixel_ids.reshape(-1),
+                        sample_ids.reshape(-1), seed)
+        mean_rad = rad.reshape(s_blk, W * H, 3).mean(0)
+        return jnp.mean((mean_rad - target) ** 2)
+
+    return loss_fn
+
+
+def make_train_step(scene: Scene, W: int, H: int, depth: int,
+                    use_bvh: bool, leaf_size: int = 4,
+                    learning_rate: float = 1e-2):
+    """One adam step of inverse rendering.  Fully jittable; under a sharded
+    jit the scene-parameter gradients are psum-reduced across the mesh by
+    autodiff (replicated params, sharded rays)."""
+    loss_fn = make_loss_fn(scene, W, H, depth, use_bvh, leaf_size)
+    optimizer = optax.adam(learning_rate)
+
+    def init(arrays) -> TrainState:
+        params = extract_params(arrays)
+        return TrainState(params=params, opt_state=optimizer.init(params))
+
+    def step(state: TrainState, arrays, bvh, basis, pixel_ids, sample_ids,
+             seed, target):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, arrays, bvh, basis, pixel_ids, sample_ids, seed,
+            target,
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state), loss
+
+    return init, step

@@ -113,3 +113,26 @@ def test_traversal_matches_scan_sphere_only():
     np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_b), rtol=2e-5,
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_b))
+
+
+def test_native_builder_matches_numpy():
+    import pytest
+
+    from hyper_ray_tracer_tpu.models.bvh_build import _build_numpy
+    from hyper_ray_tracer_tpu.utils.native import (
+        native_available,
+        native_build_bvh,
+    )
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(5)
+    n = 500
+    amin = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    amax = amin + rng.uniform(0.1, 3, (n, 3)).astype(np.float32)
+    for leaf in (1, 4, 8):
+        a = _build_numpy(amin, amax, leaf)
+        b = native_build_bvh(amin, amax, leaf)
+        for x, y, name in zip(a, b, ["bmin", "bmax", "first", "count",
+                                     "skip", "perm"]):
+            np.testing.assert_array_equal(x, y), (leaf, name)

@@ -1,0 +1,126 @@
+"""Multi-device sharding: renders and gradients must be invariant to the
+mesh (bit-identical RNG; replicated scene; psum'd gradients).
+
+Runs on 8 virtual CPU devices (conftest.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from hyper_ray_tracer_tpu import build_scene
+from hyper_ray_tracer_tpu.camera import make_basis
+from hyper_ray_tracer_tpu.parallel.mesh import (
+    AXIS_RAYS,
+    AXIS_SPP,
+    make_render_mesh,
+)
+from hyper_ray_tracer_tpu.parallel.render_sharded import (
+    gather_image,
+    make_pjit_renderer,
+    make_shardmap_renderer,
+)
+from hyper_ray_tracer_tpu.render import RenderSettings, prepare_scene, render_image
+from hyper_ray_tracer_tpu.train import make_loss_fn, make_train_step
+
+W, H, DEPTH, SPP = 32, 16, 4, 4  # W*H divisible by 8, SPP by 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = build_scene("three-spheres")
+    arrays, bvh, use_bvh = prepare_scene(scene)
+    basis = make_basis(scene.camera, W, H)
+    ref = render_image(scene, RenderSettings(width=W, height=H, samples=SPP,
+                                             depth=DEPTH))
+    return scene, arrays, bvh, use_bvh, basis, ref
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_pjit_renderer_matches_single_device(setup):
+    scene, arrays, bvh, use_bvh, basis, ref = setup
+    for shape in [(8, 1), (4, 2), (2, 4)]:
+        mesh = make_render_mesh(*shape)
+        run = make_pjit_renderer(scene, W, H, DEPTH, mesh, use_bvh)
+        rad = run(arrays, bvh, basis, np.int32(0), SPP, 0)
+        img = gather_image(rad, SPP, W, H)
+        np.testing.assert_allclose(img, ref, atol=2e-6), shape
+
+
+def test_shardmap_renderer_matches_single_device(setup):
+    scene, arrays, bvh, use_bvh, basis, ref = setup
+    mesh = make_render_mesh(4, 2)
+    render = make_shardmap_renderer(scene, W, H, DEPTH, mesh, use_bvh)
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
+    sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
+                           (SPP, W * H))
+    sharding = NamedSharding(mesh, P(AXIS_SPP, AXIS_RAYS))
+    rad = render(arrays, bvh, basis, jax.device_put(pix, sharding),
+                 jax.device_put(sam, sharding), np.uint32(0))
+    img = gather_image(rad, SPP, W, H)
+    np.testing.assert_allclose(img, ref, atol=2e-6)
+
+
+def test_sharded_gradients_match_unsharded(setup):
+    scene, arrays, bvh, use_bvh, basis, _ = setup
+    loss_fn = make_loss_fn(scene, W, H, DEPTH, use_bvh)
+    from hyper_ray_tracer_tpu.train import extract_params
+
+    params = extract_params(arrays)
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
+    sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
+                           (SPP, W * H))
+    target = jnp.zeros((W * H, 3), jnp.float32)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    g_single = grad_fn(params, arrays, bvh, basis, pix, sam, np.uint32(0),
+                       target)
+
+    mesh = make_render_mesh(4, 2)
+    idsh = NamedSharding(mesh, P(AXIS_SPP, AXIS_RAYS))
+    g_sharded = grad_fn(
+        jax.device_put(params, NamedSharding(mesh, P())),
+        jax.device_put(arrays, NamedSharding(mesh, P())),
+        jax.device_put(bvh, NamedSharding(mesh, P())),
+        jax.device_put(basis, NamedSharding(mesh, P())),
+        jax.device_put(pix, idsh), jax.device_put(sam, idsh),
+        np.uint32(0),
+        jax.device_put(target, NamedSharding(mesh, P(AXIS_RAYS))),
+    )
+    flat_a = jax.tree.leaves(g_single)
+    flat_b = jax.tree.leaves(g_sharded)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_train_step_runs_sharded(setup):
+    scene, arrays, bvh, use_bvh, basis, _ = setup
+    mesh = make_render_mesh(4, 2)
+    init, step = make_train_step(scene, W, H, DEPTH, use_bvh)
+    state = init(arrays)
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
+    sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
+                           (SPP, W * H))
+    idsh = NamedSharding(mesh, P(AXIS_SPP, AXIS_RAYS))
+    repl = NamedSharding(mesh, P())
+    new_state, loss = jax.jit(step)(
+        jax.device_put(state, repl), jax.device_put(arrays, repl),
+        jax.device_put(bvh, repl), jax.device_put(basis, repl),
+        jax.device_put(pix, idsh), jax.device_put(sam, idsh), np.uint32(0),
+        jax.device_put(jnp.zeros((W * H, 3), jnp.float32),
+                       NamedSharding(mesh, P(AXIS_RAYS))),
+    )
+    assert np.isfinite(float(loss))
+    # Parameters actually moved.
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(new_state.params))
+    )
+    assert moved
