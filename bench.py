@@ -26,7 +26,7 @@ import numpy as np
 
 BASELINE_CPU_MRAYS = 1.0  # estimated Rust-reference multicore CPU camera Mrays/s
 
-W, H, SPP, DEPTH = 400, 225, 16, 10
+W, H, SPP, DEPTH = 400, 225, 4, 10
 SCENE = "final"
 
 
@@ -52,12 +52,14 @@ def main() -> int:
             jax.device_put(basis), jnp.asarray(pixel_ids),
             jnp.asarray(sample_ids), np.uint32(0))
 
-    # Warmup: compile + first-transfer tunnel handshake.
+    # Warmup: compile + first-transfer tunnel handshake.  NB: transfer the
+    # FULL array — device->host of a lazily-sliced view has been observed to
+    # hang on the tunneled axon platform.
     out = fn(*args)
     out.block_until_ready()
-    _ = np.asarray(out[:8])
+    _ = np.asarray(out)
 
-    reps = 3
+    reps = 5
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

@@ -78,12 +78,18 @@ class RenderSettings:
 
 
 def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
-                     use_bvh: bool, leaf_size: int = 4):
+                     use_bvh: bool, leaf_size: int = 4,
+                     remat: bool = False):
     """Build the jittable wavefront kernel.
 
     Returns f(arrays, bvh, basis, pixel_ids, sample_ids, seed) -> [N,3]
     radiance (pre-gamma, pre-averaging).  ``arrays.geom`` must already be in
     BVH leaf order when ``use_bvh``.
+
+    ``remat=True`` rematerialises each bounce in the backward pass
+    (jax.checkpoint over the scan body): deep differentiable renders
+    (depth 50) trade recompute for O(depth) -> O(1) shading residuals —
+    SURVEY.md §7 'memory for deep transport'.
     """
     static = scene.static
     background = scene.background
@@ -179,8 +185,9 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
             d = jnp.where(alive[:, None], sc.direction, d)
             return (o, d, alive, throughput, radiance), None
 
+        bounce_fn = jax.checkpoint(bounce) if remat else bounce
         (o, d, alive, throughput, radiance), _ = jax.lax.scan(
-            bounce, init, jnp.arange(depth, dtype=jnp.uint32)
+            bounce_fn, init, jnp.arange(depth, dtype=jnp.uint32)
         )
         return radiance
 

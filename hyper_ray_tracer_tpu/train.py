@@ -70,11 +70,12 @@ class TrainState(NamedTuple):
 
 
 def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
-                 use_bvh: bool, leaf_size: int = 4):
+                 use_bvh: bool, leaf_size: int = 4, remat: bool = False):
     """loss(params, arrays, bvh, basis, pixel_ids, sample_ids, seed, target)
     = mean squared error between mean radiance and a target image
     ([W*H, 3], linear radiance, bottom-up rows)."""
-    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size)
+    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
+                                 remat=remat)
 
     def loss_fn(params, arrays, bvh, basis, pixel_ids, sample_ids, seed,
                 target):
@@ -90,11 +91,12 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
 
 def make_train_step(scene: Scene, W: int, H: int, depth: int,
                     use_bvh: bool, leaf_size: int = 4,
-                    learning_rate: float = 1e-2):
+                    learning_rate: float = 1e-2, remat: bool = False):
     """One adam step of inverse rendering.  Fully jittable; under a sharded
     jit the scene-parameter gradients are psum-reduced across the mesh by
     autodiff (replicated params, sharded rays)."""
-    loss_fn = make_loss_fn(scene, W, H, depth, use_bvh, leaf_size)
+    loss_fn = make_loss_fn(scene, W, H, depth, use_bvh, leaf_size,
+                           remat=remat)
     optimizer = optax.adam(learning_rate)
 
     def init(arrays) -> TrainState:

@@ -176,3 +176,40 @@ def test_gradients_finite_everywhere():
         grads = g(params)
         for k, v in grads.items():
             assert np.isfinite(np.asarray(v)).all(), (name, k)
+
+
+def test_remat_gradients_match():
+    """jax.checkpoint over the bounce scan must not change gradients."""
+    import jax.numpy as jnp
+
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.render import prepare_scene
+    from hyper_ray_tracer_tpu.train import extract_params, make_loss_fn
+
+    scene = build_scene("three-spheres")
+    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh = jax.device_put((arrays, bvh))
+    basis = make_basis(scene.camera, W, H)
+    params = extract_params(arrays)
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
+    sam = jnp.zeros((SPP, W * H), jnp.int32)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    args = (arrays, bvh, basis, pix, sam, np.uint32(0), target)
+
+    g_plain = jax.jit(jax.grad(make_loss_fn(scene, W, H, 6, use_bvh)))(
+        params, *args)
+    g_remat = jax.jit(jax.grad(make_loss_fn(scene, W, H, 6, use_bvh,
+                                            remat=True)))(params, *args)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
+def test_scaling_harness_runs():
+    from hyper_ray_tracer_tpu.parallel.scaling import measure_scaling
+
+    scene = build_scene("three-spheres")
+    pts = measure_scaling(scene, 32, 16, 3, 4, device_counts=[1, 2, 4],
+                          reps=1)
+    assert [p.n_devices for p in pts] == [1, 2, 4]
+    assert all(np.isfinite(p.mrays_per_s) and p.mrays_per_s > 0 for p in pts)
