@@ -13,9 +13,18 @@ synchronous over the whole ray wavefront:
   a shrinking ``t_best`` is closest-hit-correct exactly like the reference's
   left-then-right clamped recursion.
 
-* ``scan_all``: O(P) loop testing every primitive against every ray
-  (list.rs:20-31 semantics).  No gathers, pure VPU math — faster than the
-  BVH for small scenes and the correctness oracle for the traversal.
+* ``scan_all``: tiled all-pairs intersection (list.rs:20-31 closest-hit
+  semantics).  Primitives are processed in contiguous tiles of ``SCAN_TILE``;
+  each ``fori_loop`` step broadcasts one tile against the whole wavefront
+  ([N_rays, TILE] lanes of pure VPU math — dynamic slices, **zero gathers**)
+  and folds the per-tile argmin into the running best hit.  On the real TPU
+  this measures ~77x faster than the gather-based BVH traversal on the
+  3.4k-prim final scene (67 ms vs 5.1 s for a 90k-ray wavefront): per-ray
+  divergent node cursors force [N]-sized gathers every traversal step, which
+  is the pathological access pattern for a vector machine, while the dense
+  tile sweep is contiguous broadcast compute at near-VPU-peak.  This is the
+  default intersector for every reference scene (max ~3.4k prims); the BVH
+  remains available for asymptotically large scenes.
 
 Both return ``(t_best, prim_idx)`` with ``prim_idx == -1`` for a miss.
 """
@@ -28,30 +37,120 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .intersect import BIG, aabb_hit, gather_prim, make_prim_intersector
+from ..models.scene import PT_NONE, PT_SPHERE
+from .intersect import BIG, PrimFields, aabb_hit, gather_prim, \
+    make_prim_intersector
+
+# Primitive-tile width for the dense sweep: multiples of the 128-lane VPU
+# register width; 512 measured fastest on TPU v5e (flat 256..2048).
+SCAN_TILE = 512
 
 
-def make_scan_intersector(static):
-    hit_t = make_prim_intersector(static)
+def _scan_tile(n_prims: int) -> int:
+    """Tile width: full VPU lanes when the scene is big enough, else the
+    smallest sublane-aligned cover of the whole scene."""
+    if n_prims >= SCAN_TILE:
+        return SCAN_TILE
+    return max(8, -(-n_prims // 8) * 8)
+
+
+def _tile_signatures(host_geom, tile: int, n_tiles: int):
+    """Host-side (NumPy) per-tile specialisation flags for the unrolled
+    sweep: (types present, any motion, any non-identity transform).
+
+    Only *structural* properties are inspected — integer type tags and the
+    rotation/translation fields, none of which are trainable parameters — so
+    a specialisation computed at trace time stays valid for every value of
+    the differentiable scene parameters.
+    """
+    pt = np.asarray(host_geom.ptype)
+    rot = np.asarray(host_geom.rot)
+    trans = np.asarray(host_geom.trans)
+    p0 = np.asarray(host_geom.p0)
+    p1 = np.asarray(host_geom.p1)
+    eye = np.eye(3, dtype=rot.dtype)
+    sigs = []
+    for i in range(n_tiles):
+        sl = slice(i * tile, min((i + 1) * tile, pt.shape[0]))
+        types = frozenset(int(v) for v in np.unique(pt[sl])) - {PT_NONE}
+        motion = bool(
+            ((pt[sl] == PT_SPHERE)
+             & np.any(p0[sl] != p1[sl], axis=-1)).any())
+        xform = bool(np.any(rot[sl] != eye) or np.any(trans[sl] != 0))
+        sigs.append((types, motion, xform))
+    return sigs
+
+
+def make_scan_intersector(static, host_geom=None):
+    """``host_geom``: the NumPy geometry the runtime arrays will follow
+    (same primitive order!).  When given, the tile loop is unrolled at trace
+    time and each tile's intersection math is specialised to the primitive
+    types / motion / transforms actually present in it."""
     n_prims = static.n_prims
+    tile = _scan_tile(n_prims)
+    n_tiles = -(-n_prims // tile)
+    p_pad = n_tiles * tile
+
+    if host_geom is not None:
+        sigs = _tile_signatures(host_geom, tile, n_tiles)
+        tile_hit = [
+            make_prim_intersector(static, types=types, has_motion=motion,
+                                  has_xform=xform)
+            for types, motion, xform in sigs
+        ]
+    else:
+        tile_hit = None
+        hit_t = make_prim_intersector(static)
 
     def scan_all(geom, o, d, time, t_min, ray_bits, active):
+        if p_pad != n_prims:
+            def pad(x, fill):
+                widths = [(0, p_pad - n_prims)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, widths, constant_values=fill)
+
+            geom = geom._replace(
+                **{k: pad(getattr(geom, k),
+                          PT_NONE if k == "ptype" else 0)
+                   for k in PrimFields._fields})
+
+        o_b = o[:, None, :]
+        d_b = d[:, None, :]
+        time_b = time[:, None]
+        bits_b = ray_bits[:, None]
+
         # Derive loop carries from ray data so they are device-varying under
         # shard_map (constant inits would fail the scan carry type check).
         vary0 = o[..., 0] * 0.0
         t0 = jnp.where(active, BIG + vary0, jnp.float32(-BIG))
+        best0 = vary0.astype(jnp.int32) - 1
 
-        def body(p, carry):
-            t_best, best = carry
-            pf = gather_prim(geom, p)
-            t = hit_t(pf, o, d, time, t_min, t_best, ray_bits, jnp)
-            upd = t < t_best
-            return jnp.where(upd, t, t_best), jnp.where(upd, p, best)
+        def tile_step(i, t_best, best, hit_fn):
+            start = i * tile
+            pf = PrimFields(*[
+                jax.lax.dynamic_slice_in_dim(getattr(geom, k), start, tile,
+                                             0)[None]
+                for k in PrimFields._fields])
+            t = hit_fn(pf, o_b, d_b, time_b, t_min, t_best[:, None], bits_b,
+                       jnp)  # [N, tile]
+            # Ties break to the lowest primitive index (argmin picks the
+            # first in-tile minimum; cross-tile, the strict < keeps the
+            # earlier tile) — identical to the sequential list.rs order.
+            j = jnp.argmin(t, axis=1).astype(jnp.int32)
+            tt = jnp.min(t, axis=1)
+            upd = tt < t_best
+            return (jnp.where(upd, tt, t_best),
+                    jnp.where(upd, start + j, best))
 
-        t_best, best = jax.lax.fori_loop(
-            0, n_prims, body,
-            (t0, vary0.astype(jnp.int32) - 1),
-        )
+        if tile_hit is not None:
+            # Unrolled: each tile gets its own specialised intersection code.
+            t_best, best = t0, best0
+            for i in range(n_tiles):
+                t_best, best = tile_step(i, t_best, best, tile_hit[i])
+        else:
+            def body(i, carry):
+                return tile_step(i, carry[0], carry[1], hit_t)
+
+            t_best, best = jax.lax.fori_loop(0, n_tiles, body, (t0, best0))
         t_best = jnp.where(active, t_best, BIG)
         return t_best, best
 
@@ -112,9 +211,13 @@ def make_bvh_traverser(static, leaf_size: int):
     return traverse
 
 
-def make_intersector(static, *, use_bvh: bool, leaf_size: int = 4):
+def make_intersector(static, *, use_bvh: bool, leaf_size: int = 4,
+                     host_geom=None):
     """Unified interface: trace(geom, bvh, o, d, time, t_min, ray_bits,
-    active) -> (t, prim)."""
+    active) -> (t, prim).
+
+    ``host_geom`` (scan path only): NumPy geometry in the runtime primitive
+    order, enabling per-tile type specialisation of the dense sweep."""
     if use_bvh:
         trav = make_bvh_traverser(static, leaf_size)
 
@@ -122,7 +225,7 @@ def make_intersector(static, *, use_bvh: bool, leaf_size: int = 4):
             return trav(bvh, geom, o, d, time, t_min, ray_bits, active)
 
     else:
-        scan = make_scan_intersector(static)
+        scan = make_scan_intersector(static, host_geom)
 
         def trace(geom, bvh, o, d, time, t_min, ray_bits, active):
             return scan(geom, o, d, time, t_min, ray_bits, active)

@@ -195,16 +195,31 @@ def medium_box_t(pf: PrimFields, o, d, t_min, t_max, med_u, xp):
     return xp.where(exists, t, BIG)
 
 
-def make_prim_intersector(static):
+def make_prim_intersector(static, *, types=None, has_motion=None,
+                          has_xform=None):
     """Returns hit_t(pf, o, d, time, t_min, t_max, ray_bits, xp) -> t.
 
     ``ray_bits``: per-ray uint32 (per pixel/sample/bounce) from which the
     media free-flight uniform is derived, salted with ``pf.stable_id`` so the
     draw is independent of primitive storage order (oracle == scan == BVH).
+
+    The keyword overrides narrow the emitted math below the scene-level
+    specialisation flags — the tiled sweep passes the set of types / motion /
+    transform actually present in each primitive tile, so e.g. a rect-only
+    tile pays ~30 flops per (ray, prim) pair instead of the ~110 of the full
+    masked all-compute path.  ``types`` is an iterable of PT_* tags; ``None``
+    means "all scene types".
     """
-    has_motion = static.has_motion
-    has_media = static.has_media
-    has_xform = static.has_ray_xform
+    if has_motion is None:
+        has_motion = static.has_motion
+    if has_xform is None:
+        has_xform = static.has_ray_xform
+    if types is None:
+        types = {PT_SPHERE, PT_RECT}
+        if static.has_media:
+            types |= {PT_MEDIUM_SPHERE, PT_MEDIUM_BOX}
+    types = frozenset(types)
+    has_media = bool(types & {PT_MEDIUM_SPHERE, PT_MEDIUM_BOX})
 
     def hit_t(pf: PrimFields, o, d, time, t_min, t_max, ray_bits, xp):
         if has_xform:
@@ -212,31 +227,42 @@ def make_prim_intersector(static):
         else:
             o_obj, d_obj = o, d
 
-        t = xp.where(
-            pf.ptype == PT_SPHERE,
-            sphere_t(pf, o_obj, d_obj, time, t_min, t_max, has_motion, xp),
-            BIG,
-        )
-        t = xp.where(
-            pf.ptype == PT_RECT,
-            rect_t(pf, o_obj, d_obj, t_min, t_max, xp),
-            t,
-        )
+        t = BIG
+        if PT_SPHERE in types:
+            t = xp.where(
+                pf.ptype == PT_SPHERE,
+                sphere_t(pf, o_obj, d_obj, time, t_min, t_max, has_motion,
+                         xp),
+                t,
+            )
+        if PT_RECT in types:
+            t = xp.where(
+                pf.ptype == PT_RECT,
+                rect_t(pf, o_obj, d_obj, t_min, t_max, xp),
+                t,
+            )
         if has_media:
             med_u = prng.bits_to_uniform(
                 prng.stream_bits(ray_bits, prng.P_MEDIUM,
                                  pf.stable_id.astype(np.uint32))
             )
-            t = xp.where(
-                pf.ptype == PT_MEDIUM_SPHERE,
-                medium_sphere_t(pf, o_obj, d_obj, t_min, t_max, med_u, xp),
-                t,
-            )
-            t = xp.where(
-                pf.ptype == PT_MEDIUM_BOX,
-                medium_box_t(pf, o_obj, d_obj, t_min, t_max, med_u, xp),
-                t,
-            )
+            if PT_MEDIUM_SPHERE in types:
+                t = xp.where(
+                    pf.ptype == PT_MEDIUM_SPHERE,
+                    medium_sphere_t(pf, o_obj, d_obj, t_min, t_max, med_u,
+                                    xp),
+                    t,
+                )
+            if PT_MEDIUM_BOX in types:
+                t = xp.where(
+                    pf.ptype == PT_MEDIUM_BOX,
+                    medium_box_t(pf, o_obj, d_obj, t_min, t_max, med_u, xp),
+                    t,
+                )
+        if not types:
+            t = xp.broadcast_to(
+                xp.asarray(BIG), xp.broadcast_shapes(
+                    pf.ptype.shape, o[..., 0].shape))
         return t
 
     return hit_t

@@ -13,14 +13,22 @@ Parity-relevant reference quirks reproduced here:
   reference, not the book.
 * ``turbulence(p, depth)`` = |sum_k 0.5^k * noise(2^k p)| (perlin_noise.rs:66-78).
 
-The tables are generated host-side with a seeded NumPy generator (the
-reference uses ``thread_rng``, which is irreproducible by design —
-perlin_noise.rs:24,58); only the *distribution* of the tables matters for
-look parity.
+TPU-native design: the reference drives its lattice with *materialised*
+permutation tables filled by ``thread_rng`` (irreproducible by design —
+perlin_noise.rs:24,58), so only the table *distribution* matters for look
+parity.  Table lookups are gathers, and per-element gathers are the slowest
+access pattern on a vector machine (measured ~35 ms per 90k-ray turbulence
+evaluation on TPU v5e — the single largest shading cost).  We therefore
+define the permutations and gradient vectors as **bijective 8-bit hash
+functions** (seed-keyed multiply/xor-shift rounds — every step invertible,
+so each axis map is a true permutation of 0..255) and murmur-style gradient
+hashes:
 
-``noise``/``turbulence`` are xp-generic: they run on NumPy (scalar oracle) and
-on jax.numpy (vectorised renderer) with identical results.  Gathers use fancy
-indexing, which lowers to XLA gathers from 256-entry tables (VMEM-resident).
+* ``make_tables(seed)`` materialises the hash functions into the classic
+  table form, used by the scalar ``noise()`` (oracle, unit tests).
+* ``turbulence()`` — the renderer's hot path — evaluates the *same* hash
+  functions inline on the whole wavefront: pure VPU integer math, zero
+  gathers, bit-identical to the table-based path by construction.
 """
 
 from __future__ import annotations
@@ -32,30 +40,118 @@ import numpy as np
 POINT_COUNT = 256
 TURBULENCE_DEPTH = 7  # textures/noise_texture.rs:28 passes depth=7
 
+_U32 = np.uint32
+_MASK8 = np.int32(POINT_COUNT - 1)
+
+# Odd multipliers for the 8-bit permutation rounds (odd => bijective mod 256).
+_PA = _U32(167)
+_PB = _U32(83)
+_PC = _U32(229)
+
+
+def _fmix(h):
+    """murmur3 finalizer on uint32 (wrapping); xp-generic via dtype."""
+    with np.errstate(over="ignore"):  # uint32 wraparound is the algorithm
+        h = h ^ (h >> _U32(16))
+        h = h * _U32(0x85EB_CA6B)
+        h = h ^ (h >> _U32(13))
+        h = h * _U32(0xC2B2_AE35)
+        h = h ^ (h >> _U32(16))
+    return h
+
+
+def _perm8(x, k1, k2):
+    """Seed-keyed bijection on 0..255 (inputs uint32 in-range).
+
+    Every round is invertible on 8 bits: xor-constant, odd multiply mod 256,
+    and x ^= x >> k (triangular).  Composition is therefore a permutation.
+    """
+    m8 = _U32(0xFF)
+    x = (x ^ k1) & m8
+    x = (x * _PA) & m8
+    x = x ^ (x >> _U32(4))
+    x = (x * _PB) & m8
+    x = x ^ (x >> _U32(3))
+    x = (x ^ k2) & m8
+    x = (x * _PC) & m8
+    x = x ^ (x >> _U32(2))
+    return x
+
+
+def _grad(h, gseed, xp):
+    """Gradient vector for lattice hash ``h``: normalize(uniform(-1,1)^3),
+    the reference's cube-corner-biased distribution (perlin_noise.rs:26-34),
+    with the three uniforms drawn from murmur hashes of (h, axis)."""
+    with np.errstate(over="ignore"):
+        hh = h.astype(_U32) * _U32(0x9E37_79B1) + gseed
+    comps = []
+    for salt in (_U32(0x68E3_1DA4), _U32(0xB529_7A4D), _U32(0x334D_4C65)):
+        bits = _fmix(hh ^ salt)
+        u = bits.astype(np.float32) * np.float32(2.0 ** -32)
+        comps.append(2.0 * u - 1.0)
+    v = xp.stack(comps, axis=-1)
+    inv = 1.0 / xp.sqrt(xp.maximum((v * v).sum(-1), 1e-12))
+    return v * inv[..., None]
+
+
+class PerlinKeys(NamedTuple):
+    """Seed-derived hash keys (all uint32 scalars)."""
+
+    kx1: np.ndarray
+    kx2: np.ndarray
+    ky1: np.ndarray
+    ky2: np.ndarray
+    kz1: np.ndarray
+    kz2: np.ndarray
+    gseed: np.ndarray
+
 
 class PerlinTables(NamedTuple):
-    """Pytree of the four lattice tables (float32 / int32)."""
+    """Pytree: hash keys + their materialised table form.
 
-    vectors: np.ndarray  # [256, 3] float32 unit-ish gradient vectors
+    ``vectors``/``perm_*`` are exactly ``_grad``/``_perm8`` evaluated on
+    0..255 — the gather-based ``noise()`` (oracle, tests) and the computed
+    ``turbulence()`` (renderer) agree by construction.
+    """
+
+    keys: PerlinKeys
+    vectors: np.ndarray  # [256, 3] float32 gradient vectors
     perm_x: np.ndarray  # [256] int32
     perm_y: np.ndarray  # [256] int32
     perm_z: np.ndarray  # [256] int32
 
 
+def make_keys(seed: int = 0) -> PerlinKeys:
+    # 0-d arrays (not NumPy scalars): array uint32 arithmetic wraps silently.
+    s = np.asarray(seed, _U32) ^ _U32(0x05E1_1A57)
+    ks = [_fmix(s + np.asarray(i * 0x9E37_79B9 & 0xFFFF_FFFF, _U32))
+          for i in range(7)]
+    return PerlinKeys(
+        kx1=ks[0] & _U32(0xFF), kx2=ks[1] & _U32(0xFF),
+        ky1=ks[2] & _U32(0xFF), ky2=ks[3] & _U32(0xFF),
+        kz1=ks[4] & _U32(0xFF), kz2=ks[5] & _U32(0xFF),
+        gseed=ks[6],
+    )
+
+
 def make_tables(seed: int = 0) -> PerlinTables:
-    rng = np.random.default_rng(np.uint32(seed) ^ np.uint32(0x5E11A57))
-    v = rng.uniform(-1.0, 1.0, size=(POINT_COUNT, 3)).astype(np.float32)
-    v /= np.linalg.norm(v, axis=-1, keepdims=True).astype(np.float32)
-    perms = [
-        rng.permutation(POINT_COUNT).astype(np.int32) for _ in range(3)
-    ]
-    return PerlinTables(v.astype(np.float32), *perms)
+    keys = make_keys(seed)
+    idx = np.arange(POINT_COUNT, dtype=_U32)
+    return PerlinTables(
+        keys=keys,
+        vectors=np.asarray(_grad(idx, keys.gseed, np), np.float32),
+        perm_x=_perm8(idx, keys.kx1, keys.kx2).astype(np.int32),
+        perm_y=_perm8(idx, keys.ky1, keys.ky2).astype(np.int32),
+        perm_z=_perm8(idx, keys.kz1, keys.kz2).astype(np.int32),
+    )
 
 
 def noise(tables: PerlinTables, point, xp):
     """Gradient noise at ``point`` (..., 3).  Returns (...) float32.
 
-    Mirrors perlin_noise.rs:81-123 including the smoothed-weight-vector quirk.
+    Table-based scalar-oracle form, mirroring perlin_noise.rs:81-123
+    including the smoothed-weight-vector quirk.  The renderer's wavefront
+    path is ``turbulence`` below (identical values, computed hashes).
     """
     pf = xp.floor(point)
     ijk = pf.astype(np.int32)
@@ -63,14 +159,13 @@ def noise(tables: PerlinTables, point, xp):
     # Hermite smoothing FIRST (perlin_noise.rs:105-107).
     s = uvw * uvw * (3.0 - 2.0 * uvw)
 
-    mask = np.int32(POINT_COUNT - 1)
     acc = None
     for dx in (0, 1):
-        px = tables.perm_x[(ijk[..., 0] + dx) & mask]
+        px = tables.perm_x[(ijk[..., 0] + dx) & _MASK8]
         for dy in (0, 1):
-            py = tables.perm_y[(ijk[..., 1] + dy) & mask]
+            py = tables.perm_y[(ijk[..., 1] + dy) & _MASK8]
             for dz in (0, 1):
-                pz = tables.perm_z[(ijk[..., 2] + dz) & mask]
+                pz = tables.perm_z[(ijk[..., 2] + dz) & _MASK8]
                 g = tables.vectors[px ^ py ^ pz]  # (..., 3)
                 # Smoothed weight vector (reference quirk).
                 wv = xp.stack(
@@ -86,14 +181,55 @@ def noise(tables: PerlinTables, point, xp):
     return acc
 
 
-def turbulence(tables: PerlinTables, point, xp, depth: int = TURBULENCE_DEPTH):
-    """|sum_k 0.5^k noise(2^k p)|  (perlin_noise.rs:66-78)."""
+def turbulence(tables: PerlinTables, point, xp,
+               depth: int = TURBULENCE_DEPTH):
+    """|sum_k 0.5^k noise(2^k p)|  (perlin_noise.rs:66-78).
+
+    Gather-free wavefront evaluation: all octaves' lattice coordinates are
+    stacked on a new axis and the permutation / gradient values are computed
+    with the seed-keyed hashes directly (see module docstring).  Corner and
+    octave accumulation keep the reference's sequential order, so values
+    match the table-based ``noise`` summation on the same backend.
+    """
+    keys = tables.keys
+    scales = (2.0 ** np.arange(depth)).astype(np.float32)  # [depth]
+    pts = point[..., None, :] * scales[:, None]  # [..., depth, 3]
+    pf = xp.floor(pts)
+    ijk = pf.astype(np.int32)
+    uvw = pts - pf
+    s = uvw * uvw * (3.0 - 2.0 * uvw)  # smoothed (perlin_noise.rs:105-107)
+
+    def axis_perms(i, k1, k2):
+        lo = ((i & _MASK8).astype(_U32))
+        hi = (((i + 1) & _MASK8).astype(_U32))
+        return _perm8(lo, k1, k2), _perm8(hi, k1, k2)
+
+    px = axis_perms(ijk[..., 0], keys.kx1, keys.kx2)
+    py = axis_perms(ijk[..., 1], keys.ky1, keys.ky2)
+    pz = axis_perms(ijk[..., 2], keys.kz1, keys.kz2)
+
+    sx, sy, sz = s[..., 0], s[..., 1], s[..., 2]
+    noise_k = None
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                g = _grad(px[dx] ^ py[dy] ^ pz[dz], keys.gseed, xp)
+                wv_dot = (
+                    g[..., 0] * (sx - dx)
+                    + g[..., 1] * (sy - dy)
+                    + g[..., 2] * (sz - dz)
+                )
+                lerp_w = (
+                    (dx * sx + (1 - dx) * (1.0 - sx))
+                    * (dy * sy + (1 - dy) * (1.0 - sy))
+                    * (dz * sz + (1 - dz) * (1.0 - sz))
+                )
+                term = lerp_w * wv_dot
+                noise_k = term if noise_k is None else noise_k + term
+
+    # Octave accumulation in sequential order (weight halves each octave).
     acc = None
-    p = point
-    weight = 1.0
-    for _ in range(depth):
-        term = weight * noise(tables, p, xp)
+    for k in range(depth):
+        term = np.float32(0.5 ** k) * noise_k[..., k]
         acc = term if acc is None else acc + term
-        weight *= 0.5
-        p = p * 2.0
     return xp.abs(acc)

@@ -53,9 +53,14 @@ T_MIN = np.float32(1.0e-3)  # application.rs:482
 _SKY_WHITE = np.float32([1.0, 1.0, 1.0])
 _SKY_BLUE = np.float32([0.5, 0.7, 1.0])
 
-# Scenes smaller than this are faster with the dense O(P) scan than with
-# gather-based BVH traversal on a vector machine.
-AUTO_BVH_MIN_PRIMS = 64
+# Scenes smaller than this are faster with the dense tiled all-pairs sweep
+# than with gather-based BVH traversal on a vector machine.  Measured on TPU
+# v5e: the tiled sweep beats the BVH by ~77x even on the *largest* reference
+# scene (final, 3.4k prims, 67 ms vs 5.1 s per 90k-ray wavefront) because
+# per-ray divergent node cursors force [N]-gathers every traversal step.
+# The BVH (use_bvh=True) remains for asymptotically large scenes, where the
+# O(P) sweep must eventually lose to O(log P) traversal.
+AUTO_BVH_MIN_PRIMS = 100_000
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,7 +98,11 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     """
     static = scene.static
     background = scene.background
-    trace = make_intersector(static, use_bvh=use_bvh, leaf_size=leaf_size)
+    # Scan path: primitives keep the scene build order, so the host-side
+    # arrays drive per-tile type specialisation of the dense sweep.
+    trace = make_intersector(
+        static, use_bvh=use_bvh, leaf_size=leaf_size,
+        host_geom=None if use_bvh else scene.arrays.geom)
     prim_hit_t = make_prim_intersector(static)
     detail_fn = make_hit_detailer(static)
     w_minus_1 = np.float32(width - 1)
@@ -244,7 +253,8 @@ def render_image(scene: Scene, settings: RenderSettings,
         scene, W, H, settings.depth, use_bvh, settings.leaf_size
     )
 
-    spp_chunk = settings.spp_chunk or _auto_spp_chunk(W, H, settings.samples)
+    spp_chunk = settings.spp_chunk or _auto_spp_chunk(
+        W, H, settings.samples, settings.depth)
 
     def _render_chunk(arrays, bvh, basis, sample0, n_samples_static, seed):
         pix = jnp.arange(W * H, dtype=jnp.int32)
@@ -303,6 +313,14 @@ def render_image(scene: Scene, settings: RenderSettings,
 
 
 def _auto_spp_chunk(width: int, height: int, samples: int,
-                    budget_rays: int = 4_000_000) -> int:
-    per_image = width * height
-    return max(1, min(samples, budget_rays // max(per_image, 1)))
+                    depth: int = 10,
+                    budget_ray_bounces: int = 8_000_000) -> int:
+    """Samples per dispatch, budgeted in ray-bounces.
+
+    Sized so one dispatch stays a few seconds even on the largest scene
+    (~0.7 us per ray-bounce measured on TPU v5e for the final scene): the
+    tunneled device kills dispatches that run for on the order of a minute,
+    and shorter dispatches also give finer checkpoint/preview granularity.
+    """
+    per_chunk = width * height * max(depth, 1)
+    return max(1, min(samples, budget_ray_bounces // max(per_chunk, 1)))

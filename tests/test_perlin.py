@@ -52,6 +52,23 @@ def test_turbulence_positive_and_deterministic():
     assert (a >= 0).all()
 
 
+def test_turbulence_matches_table_noise_octaves():
+    """The computed-hash turbulence (renderer hot path) must equal the
+    table-based noise octave sum (oracle form) — same hash functions."""
+    t = perlin.make_tables(3)
+    pts = np.random.default_rng(4).uniform(-8, 8, (500, 3)).astype(np.float32)
+    via_tables = None
+    p = pts
+    w = np.float32(1.0)
+    for _ in range(perlin.TURBULENCE_DEPTH):
+        term = w * perlin.noise(t, p, np)
+        via_tables = term if via_tables is None else via_tables + term
+        w = np.float32(w * 0.5)
+        p = p * 2.0
+    np.testing.assert_allclose(
+        perlin.turbulence(t, pts, np), np.abs(via_tables), atol=2e-6)
+
+
 def test_numpy_jax_agree():
     t = perlin.make_tables(0)
     pts = np.random.default_rng(2).uniform(-20, 20, (512, 3)).astype(np.float32)
