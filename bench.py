@@ -26,7 +26,7 @@ import numpy as np
 
 BASELINE_CPU_MRAYS = 1.0  # estimated Rust-reference multicore CPU camera Mrays/s
 
-W, H, SPP, DEPTH = 400, 225, 4, 10
+W, H, SPP, DEPTH = 400, 225, 16, 10
 SCENE = "final"
 
 
@@ -38,37 +38,33 @@ def main() -> int:
     from hyper_ray_tracer_tpu.camera import make_basis
     from hyper_ray_tracer_tpu.render import make_ray_colorer, prepare_scene
 
+    from hyper_ray_tracer_tpu.render import make_compacting_renderer
+
     scene = build_scene(SCENE)
     arrays, bvh, use_bvh = prepare_scene(scene)
     basis = make_basis(scene.camera, W, H)
-    ray_color = make_ray_colorer(scene, W, H, DEPTH, use_bvh)
+    run = make_compacting_renderer(scene, W, H, DEPTH, use_bvh)
 
     n_rays = W * H * SPP
     pixel_ids = np.tile(np.arange(W * H, dtype=np.int32), SPP)
     sample_ids = np.repeat(np.arange(SPP, dtype=np.int32), W * H)
 
-    fn = jax.jit(ray_color)
-    args = (jax.device_put(arrays), jax.device_put(bvh),
-            jax.device_put(basis), jnp.asarray(pixel_ids),
-            jnp.asarray(sample_ids), np.uint32(0))
+    arrays, bvh, basis = jax.device_put((arrays, bvh, basis))
 
-    # Warmup: compile + first-transfer tunnel handshake.  NB: transfer the
-    # FULL array — device->host of a lazily-sliced view has been observed to
-    # hang on the tunneled axon platform.
-    out = fn(*args)
-    out.block_until_ready()
-    _ = np.asarray(out)
+    # Warmup rep: compile every bucket shape + first-transfer tunnel
+    # handshake (the compacting renderer syncs internally, so its return
+    # value is already host-side and fully materialised).
+    out = run(arrays, bvh, basis, pixel_ids, sample_ids, np.uint32(0))
 
     reps = 5
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        out.block_until_ready()
+        out = run(arrays, bvh, basis, pixel_ids, sample_ids, np.uint32(0))
         best = min(best, time.perf_counter() - t0)
 
     mrays = n_rays / best / 1e6
-    mean = float(np.asarray(out).mean())
+    mean = float(out.mean())
     print(
         json.dumps(
             {

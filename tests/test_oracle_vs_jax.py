@@ -87,3 +87,17 @@ def test_spp_chunking_invariant():
     b = render_image(scene, RenderSettings(width=20, height=12, samples=4,
                                            depth=4, spp_chunk=1))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_compaction_bit_identical(monkeypatch):
+    """The compacting renderer must reproduce the fixed-shape scan
+    bit-for-bit (per-ray RNG streams make lane order irrelevant).  The
+    bucket floor is lowered so the tiny wavefront really compacts."""
+    from hyper_ray_tracer_tpu import render as R
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 64)
+    scene = build_scene("final")
+    s = dict(width=32, height=18, samples=2, depth=10, seed=5)
+    img_plain = render_image(scene, RenderSettings(**s, compaction=False))
+    img_comp = render_image(scene, RenderSettings(**s, compaction=True))
+    np.testing.assert_array_equal(img_plain, img_comp)
