@@ -91,6 +91,13 @@ def make_scan_intersector(static, host_geom=None):
     n_tiles = -(-n_prims // tile)
     p_pad = n_tiles * tile
 
+    # Design note (measured on TPU v5e): an MXU matmul form of the sphere
+    # tile (o.c / d.c as [N,3]@[3,P] products) is ~15% SLOWER end-to-end
+    # than this vector form and costs ~100x the rounding error: a K=3
+    # contraction uses 3/128 of the systolic array, f32 precision=HIGHEST
+    # multiplies passes, and the cancellation in |o|^2 - 2 o.c + |c|^2
+    # flips decision-boundary hits (~1e-3 t error vs ~1e-5).  The VPU
+    # epilogue, not the dot products, is the roofline here.
     if host_geom is not None:
         sigs = _tile_signatures(host_geom, tile, n_tiles)
         tile_hit = [
@@ -124,14 +131,16 @@ def make_scan_intersector(static, host_geom=None):
         t0 = jnp.where(active, BIG + vary0, jnp.float32(-BIG))
         best0 = vary0.astype(jnp.int32) - 1
 
-        def tile_step(i, t_best, best, hit_fn):
+        def tile_slice(i, unsqueeze):
             start = i * tile
-            pf = PrimFields(*[
-                jax.lax.dynamic_slice_in_dim(getattr(geom, k), start, tile,
-                                             0)[None]
-                for k in PrimFields._fields])
-            t = hit_fn(pf, o_b, d_b, time_b, t_min, t_best[:, None], bits_b,
-                       jnp)  # [N, tile]
+            sl = [jax.lax.dynamic_slice_in_dim(getattr(geom, k), start,
+                                               tile, 0)
+                  for k in PrimFields._fields]
+            if unsqueeze:
+                sl = [a[None] for a in sl]
+            return start, PrimFields(*sl)
+
+        def fold(start, t, t_best, best):
             # Ties break to the lowest primitive index (argmin picks the
             # first in-tile minimum; cross-tile, the strict < keeps the
             # earlier tile) — identical to the sequential list.rs order.
@@ -140,6 +149,12 @@ def make_scan_intersector(static, host_geom=None):
             upd = tt < t_best
             return (jnp.where(upd, tt, t_best),
                     jnp.where(upd, start + j, best))
+
+        def tile_step(i, t_best, best, hit_fn):
+            start, pf = tile_slice(i, True)
+            t = hit_fn(pf, o_b, d_b, time_b, t_min, t_best[:, None], bits_b,
+                       jnp)  # [N, tile]
+            return fold(start, t, t_best, best)
 
         if tile_hit is not None:
             # Unrolled: each tile gets its own specialised intersection code.
