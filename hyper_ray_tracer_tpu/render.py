@@ -422,16 +422,21 @@ def render_image(scene: Scene, settings: RenderSettings,
 
         render_chunk = jax.jit(_render_chunk, static_argnums=(4,))
 
+    # ``samples`` (the target) is intentionally NOT part of the identity:
+    # a checkpoint at k spp resumes toward any target >= k — samples are
+    # streamed by id, so extending a render is always well-defined.
     meta = dict(scene=scene.name, width=W, height=H,
-                samples=settings.samples, depth=settings.depth,
-                seed=settings.seed)
+                depth=settings.depth, seed=settings.seed)
     acc = np.zeros((W * H, 3), np.float64)
     s = 0
     if settings.checkpoint_path:
         state = ckpt.load_state(settings.checkpoint_path)
         if state is not None:
             c_acc, c_done, c_meta = state
-            if ckpt.meta_matches(c_meta, meta) and c_acc.shape == acc.shape:
+            c_meta = {k: v for k, v in c_meta.items() if k != "samples"}
+            if (ckpt.meta_matches(c_meta, meta)
+                    and c_acc.shape == acc.shape
+                    and c_done <= settings.samples):
                 acc, s = c_acc.astype(np.float64), c_done
                 log.info("resumed render at %d/%d spp from %s",
                          s, settings.samples, settings.checkpoint_path)

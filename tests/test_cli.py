@@ -1,0 +1,49 @@
+"""CLI parity with the reference (arguments.rs:21-47) + end-to-end smoke."""
+
+import numpy as np
+from PIL import Image
+
+from hyper_ray_tracer_tpu.__main__ import main
+
+
+def test_cli_renders_png(tmp_path):
+    out = tmp_path / "out.png"
+    rc = main([
+        "--scene", "three-spheres", "--width", "64", "--height", "36",
+        "--samples", "2", "--depth", "4", "--output", str(out),
+        "--verbosity", "0",
+    ])
+    assert rc == 0
+    img = np.asarray(Image.open(out))
+    assert img.shape == (36, 64, 3)
+    assert img.max() > 32  # not black
+
+
+def test_cli_reference_flags_accepted(tmp_path):
+    """All six reference flags (incl. the vestigial --tile-size) parse."""
+    out = tmp_path / "r.png"
+    rc = main([
+        "--width", "32", "--height", "18", "--samples", "1",
+        "--depth", "2", "--tile-size", "80", "--scene", "two-spheres",
+        "--output", str(out), "--verbosity", "0",
+    ])
+    assert rc == 0
+    assert out.exists()
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    out1 = tmp_path / "a.png"
+    out2 = tmp_path / "b.png"
+    ckpt = tmp_path / "c.ckpt"
+    common = ["--scene", "three-spheres", "--width", "32", "--height", "18",
+              "--depth", "4", "--checkpoint", str(ckpt), "--verbosity", "0",
+              "--spp-chunk", "2"]
+    # Full render in one go.
+    assert main([*common, "--samples", "4", "--output", str(out1)]) == 0
+    ckpt.unlink()
+    # Render half, then resume to the full count: must be bit-identical.
+    assert main([*common, "--samples", "2", "--output", str(out2)]) == 0
+    assert main([*common, "--samples", "4", "--output", str(out2)]) == 0
+    a = np.asarray(Image.open(out1))
+    b = np.asarray(Image.open(out2))
+    np.testing.assert_array_equal(a, b)
