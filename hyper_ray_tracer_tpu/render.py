@@ -104,7 +104,7 @@ class WavefrontState(NamedTuple):
 
 def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
                      use_bvh: bool, leaf_size: int = 4,
-                     remat: bool = False):
+                     remat: bool = False, differentiable: bool = True):
     """Build the jittable wavefront kernel.
 
     Returns f(arrays, bvh, basis, pixel_ids, sample_ids, seed) -> [N,3]
@@ -115,6 +115,11 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     (jax.checkpoint over the scan body): deep differentiable renders
     (depth 50) trade recompute for O(depth) -> O(1) shading residuals —
     SURVEY.md §7 'memory for deep transport'.
+
+    ``differentiable=False`` (inference renders) skips the per-winner
+    closed-form hit-distance recompute that exists only to route gradients
+    around the discrete traversal — ~15% less per-bounce work; values agree
+    with the differentiable path to float rounding.
     """
     static = scene.static
     background = scene.background
@@ -191,21 +196,24 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
 
         pidx = jnp.maximum(prim, 0)
         pf = gather_prim(geom, pidx)
-        # Differentiable recompute of the winning hit distance: for the
-        # winner the same closed form evaluates to the traversal's t
-        # (media free-flight t does not depend on t_max; spheres always
-        # resolve to the same root), but now with gradients to geometry.
-        t_re = prim_hit_t(pf, o, d, time, T_MIN, jnp.float32(BIG), bb,
-                          jnp)
-        # Miss lanes get a dummy finite t: with t = BIG the hit point
-        # overflows to inf and inf/NaN primals on masked lanes corrupt
-        # gradients of live lanes (0-cotangent * inf = NaN in VJPs).
-        # Grazing hits can recompute to a miss (the discriminant lands on
-        # the other side of 0 under different op fusion); fall back to
-        # the traversal's t there — gradient-free, but it is a
-        # decision-boundary lane anyway.
-        re_ok = t_re < jnp.float32(0.5) * BIG
-        t_use = jnp.where(hit, jnp.where(re_ok, t_re, t_hit), 1.0)
+        if differentiable:
+            # Differentiable recompute of the winning hit distance: for the
+            # winner the same closed form evaluates to the traversal's t
+            # (media free-flight t does not depend on t_max; spheres always
+            # resolve to the same root), but now with gradients to geometry.
+            t_re = prim_hit_t(pf, o, d, time, T_MIN, jnp.float32(BIG), bb,
+                              jnp)
+            # Miss lanes get a dummy finite t: with t = BIG the hit point
+            # overflows to inf and inf/NaN primals on masked lanes corrupt
+            # gradients of live lanes (0-cotangent * inf = NaN in VJPs).
+            # Grazing hits can recompute to a miss (the discriminant lands
+            # on the other side of 0 under different op fusion); fall back
+            # to the traversal's t there — gradient-free, but it is a
+            # decision-boundary lane anyway.
+            re_ok = t_re < jnp.float32(0.5) * BIG
+            t_use = jnp.where(hit, jnp.where(re_ok, t_re, t_hit), 1.0)
+        else:
+            t_use = jnp.where(hit, t_hit, 1.0)
         det = detail_fn(pf, o, d, time, t_use, jnp)
         mat_idx = geom.material[pidx]
         sc = shade(arrays, mat_idx, det, d, bb, static, jnp)
@@ -316,7 +324,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     depth 10 and far more at depth 50.
     """
     colorer = make_ray_colorer(scene, width, height, depth, use_bvh,
-                               leaf_size)
+                               leaf_size, differentiable=False)
     init_jit = jax.jit(colorer.init_state)
     scan_jit = jax.jit(colorer.bounce_scan, static_argnums=(4,))
 
@@ -406,7 +414,8 @@ def render_image(scene: Scene, settings: RenderSettings,
 
     else:
         ray_color = make_ray_colorer(
-            scene, W, H, settings.depth, use_bvh, settings.leaf_size
+            scene, W, H, settings.depth, use_bvh, settings.leaf_size,
+            differentiable=False,
         )
 
         def _render_chunk(arrays, bvh, basis, sample0, n_samples_static,
