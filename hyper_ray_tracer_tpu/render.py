@@ -391,12 +391,16 @@ def render_image(scene: Scene, settings: RenderSettings,
     )
     basis = make_basis(scene.camera, W, H)
 
-    spp_chunk = settings.spp_chunk or _auto_spp_chunk(
-        W, H, settings.samples, settings.depth)
-
     compaction = settings.compaction
     if compaction is None:
         compaction = settings.depth >= 6
+
+    # With compaction the deep-bounce tail runs on a small fraction of the
+    # lanes (~4.4 effective full-wavefront bounces at depth 10, measured),
+    # so the per-dispatch budget is charged at the effective depth.
+    budget_depth = min(settings.depth, 6) if compaction else settings.depth
+    spp_chunk = settings.spp_chunk or _auto_spp_chunk(
+        W, H, settings.samples, budget_depth)
 
     if compaction:
         run_compacted = make_compacting_renderer(
