@@ -1,0 +1,76 @@
+"""Forward+backward (inverse-rendering) throughput — BASELINE.md target 1.
+
+Not the driver bench (that is bench.py); run manually:
+    python bench_grad.py [scene] [W H SPP DEPTH]
+
+Prints one JSON line: camera Mrays/s through a full adam train step
+(forward render + backward pass w.r.t. every scene parameter + update).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from hyper_ray_tracer_tpu import build_scene
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.render import prepare_scene
+    from hyper_ray_tracer_tpu.train import make_train_step
+
+    scene_name = sys.argv[1] if len(sys.argv) > 1 else "random"
+    W, H, SPP, DEPTH = (
+        (int(a) for a in sys.argv[2:6]) if len(sys.argv) > 5
+        else (200, 112, 2, 8)
+    )
+
+    scene = build_scene(scene_name)
+    arrays, bvh, use_bvh = prepare_scene(scene)
+    basis = make_basis(scene.camera, W, H)
+    init, step = make_train_step(scene, W, H, DEPTH, use_bvh,
+                                 remat=DEPTH > 16)
+    arrays, bvh, basis = jax.device_put((arrays, bvh, basis))
+
+    n_rays = W * H * SPP
+    # loss_fn takes [S, W*H]-shaped ids (see train.make_loss_fn).
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32),
+                           (SPP, W * H))
+    sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
+                           (SPP, W * H))
+    target = jnp.zeros((W * H, 3), jnp.float32)
+
+    state = init(arrays)
+    step_jit = jax.jit(step)
+    state2, loss = step_jit(state, arrays, bvh, basis, pix, sam,
+                            np.uint32(0), target)
+    _ = np.asarray(loss)  # true sync (compile + tunnel warmup)
+
+    reps = 5
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state2, loss = step_jit(state, arrays, bvh, basis, pix, sam,
+                                np.uint32(0), target)
+        _ = np.asarray(loss)
+        best = min(best, time.perf_counter() - t0)
+
+    mrays = n_rays / best / 1e6
+    print(json.dumps({
+        "metric": f"{scene_name}_fwd_bwd_camera_mrays_per_s_depth{DEPTH}",
+        "value": round(mrays, 4),
+        "unit": "Mrays/s",
+        "seconds_per_step": round(best, 4),
+        "loss": float(np.asarray(loss)),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
