@@ -51,6 +51,9 @@ def main(argv=None) -> int:
                         help="Run on CPU instead of TPU")
     parser.add_argument("--verbosity", type=int, default=2,
                         help="0=warn 1=info 2=debug (logger.rs:45-51)")
+    parser.add_argument("--profile", default=None, metavar="LOGDIR",
+                        help="Capture a jax.profiler trace of the render "
+                             "into LOGDIR (TensorBoard-compatible)")
     args = parser.parse_args(argv)
 
     from .utils.logging import init as log_init
@@ -83,7 +86,13 @@ def main(argv=None) -> int:
         log.info("progress: %d/%d spp (%.1fs)", done, total,
                  time.monotonic() - t0)
 
-    img = render_image(scene, settings, progress_cb=progress)
+    if args.profile:
+        from .utils.profiling import trace
+
+        with trace(args.profile):
+            img = render_image(scene, settings, progress_cb=progress)
+    else:
+        img = render_image(scene, settings, progress_cb=progress)
     dt = time.monotonic() - t0
 
     out = args.output or f"{args.scene}.png"
