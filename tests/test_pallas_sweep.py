@@ -1,0 +1,66 @@
+"""Pallas sphere-sweep kernel vs the XLA tiled sweep (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyper_ray_tracer_tpu import build_scene
+from hyper_ray_tracer_tpu.camera import get_rays, make_basis
+from hyper_ray_tracer_tpu.ops import rng as prng
+from hyper_ray_tracer_tpu.ops.bvh import make_scan_intersector
+from hyper_ray_tracer_tpu.ops.pallas_sweep import make_pallas_sphere_sweep
+from hyper_ray_tracer_tpu.render import T_MIN
+
+
+@pytest.mark.parametrize("scene_name", ["random", "two-spheres"])
+def test_pallas_matches_xla_sweep(scene_name):
+    scene = build_scene(scene_name)
+    g = scene.arrays.geom
+    static = scene.static
+    P = static.n_prims
+
+    W, H = 64, 36
+    N = W * H
+    basis = make_basis(scene.camera, W, H)
+    pix = jnp.arange(N, dtype=jnp.uint32)
+    base = prng.ray_base(jnp.uint32(3), pix, jnp.zeros(N, jnp.uint32))
+    x = (pix % W).astype(jnp.float32)
+    y = (pix // W).astype(jnp.float32)
+    o, d, tm = get_rays(basis, base, x / (W - 1), y / (H - 1), jnp)
+    bits = prng.bounce_base(base, jnp.uint32(0))
+    active = jnp.ones((N,), bool)
+
+    scan = make_scan_intersector(static, scene.arrays.geom)
+    t_ref, best_ref = scan(jax.device_put(g), o, d, tm, T_MIN, bits, active)
+
+    sweep = make_pallas_sphere_sweep(P, float(T_MIN), interpret=True)
+    t_pl, best_pl = sweep(
+        jnp.asarray(g.p0[:P]), jnp.asarray(g.p1[:P]),
+        jnp.asarray(g.time0[:P]), jnp.asarray(g.time1[:P]),
+        jnp.asarray(g.radius[:P]), o, d, tm, active,
+    )
+
+    np.testing.assert_array_equal(np.asarray(best_pl), np.asarray(best_ref))
+    hit = np.asarray(best_ref) >= 0
+    # Winner indices match exactly; t agrees to float-ordering noise
+    # (near-tangent roots amplify ULP differences, ~1e-4 relative).
+    np.testing.assert_allclose(np.asarray(t_pl)[hit],
+                               np.asarray(t_ref)[hit], rtol=5e-4, atol=1e-3)
+
+
+def test_pallas_inactive_rays_miss():
+    scene = build_scene("two-spheres")
+    g = scene.arrays.geom
+    P = scene.static.n_prims
+    N = 64
+    o = jnp.zeros((N, 3), jnp.float32) + jnp.float32([0.0, 0.0, 30.0])
+    d = jnp.zeros((N, 3), jnp.float32) + jnp.float32([0.0, 0.0, -1.0])
+    tm = jnp.zeros((N,), jnp.float32)
+    active = jnp.zeros((N,), bool)
+    sweep = make_pallas_sphere_sweep(P, interpret=True)
+    t, best = sweep(jnp.asarray(g.p0[:P]), jnp.asarray(g.p1[:P]),
+                    jnp.asarray(g.time0[:P]), jnp.asarray(g.time1[:P]),
+                    jnp.asarray(g.radius[:P]), o, d, tm, active)
+    assert (np.asarray(best) == -1).all()
+    assert (np.asarray(t) >= 1e30).all()
