@@ -1,7 +1,7 @@
 """Forward+backward (inverse-rendering) throughput — BASELINE.md target 1.
 
 Not the driver bench (that is bench.py); run manually:
-    python bench_grad.py [scene] [W H SPP DEPTH]
+    python bench_grad.py [scene] [W] [H] [SPP] [DEPTH]
 
 Prints one JSON line: camera Mrays/s through a full adam train step
 (forward render + backward pass w.r.t. every scene parameter + update).
@@ -25,11 +25,17 @@ def main() -> int:
     from hyper_ray_tracer_tpu.render import prepare_scene
     from hyper_ray_tracer_tpu.train import make_train_step
 
-    scene_name = sys.argv[1] if len(sys.argv) > 1 else "random"
-    W, H, SPP, DEPTH = (
-        (int(a) for a in sys.argv[2:6]) if len(sys.argv) > 5
-        else (200, 112, 2, 8)
-    )
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene", nargs="?", default="random")
+    ap.add_argument("width", nargs="?", type=int, default=200)
+    ap.add_argument("height", nargs="?", type=int, default=112)
+    ap.add_argument("spp", nargs="?", type=int, default=2)
+    ap.add_argument("depth", nargs="?", type=int, default=8)
+    a = ap.parse_args()
+    scene_name = a.scene
+    W, H, SPP, DEPTH = a.width, a.height, a.spp, a.depth
 
     scene = build_scene(scene_name)
     arrays, bvh, use_bvh = prepare_scene(scene)

@@ -44,14 +44,16 @@ def _ids_for_block(W, H, sample0, n_samples):
     return pixel_ids, sample_ids
 
 
-def make_pjit_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4):
+def make_pjit_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4,
+                       differentiable=False):
     """GSPMD path: returns render(arrays, bvh, basis, sample0, seed) ->
     [W*H, 3] radiance sum over ``n_samples`` samples.
 
     ``n_samples`` is fixed at build time (static shape); ray ids are laid
     out [S, W*H] and sharded (spp, rays).
     """
-    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size)
+    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
+                                 differentiable=differentiable)
     id_sharding = NamedSharding(mesh, P(AXIS_SPP, AXIS_RAYS))
     out_sharding = NamedSharding(mesh, P(AXIS_RAYS))
 
@@ -73,14 +75,16 @@ def make_pjit_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4):
     return run
 
 
-def make_shardmap_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4):
+def make_shardmap_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4,
+                           differentiable=False):
     """Explicit shard_map path with spp-axis psum.
 
     Returns render(arrays, bvh, basis, pixel_ids, sample_ids, seed) ->
     [W*H, 3] radiance sum; pixel/sample ids are [S, W*H] and must be
     divisible by the mesh axes.
     """
-    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size)
+    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
+                                 differentiable=differentiable)
 
     @partial(
         jax.shard_map,

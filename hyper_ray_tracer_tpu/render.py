@@ -479,9 +479,11 @@ def render_image(scene: Scene, settings: RenderSettings,
 
     dt = _time.monotonic() - t_start
     if rays_done and dt > 0:
-        log.debug("rendered %d camera rays in %.2fs (%.2f Mrays/s, "
-                  "depth<=%d)", rays_done, dt, rays_done / dt / 1e6,
-                  settings.depth)
+        from .utils.profiling import RayStats
+
+        stats = RayStats(camera_rays=rays_done, depth=settings.depth,
+                         seconds=dt, n_devices=jax.device_count())
+        log.debug("%s", stats.summary())
     return _gamma_image(acc, settings.samples, W, H)
 
 

@@ -4,10 +4,13 @@ The reference's only instrumentation is a wall-clock log line after the last
 tile (`/root/reference/src/application.rs:260-280`).  Here (SURVEY.md §5):
 
 * ``trace()`` — context manager around ``jax.profiler`` emitting a
-  TensorBoard-compatible trace (op-level TPU timeline);
-* ``Timer`` — phase timer with ``block_until_ready`` semantics;
-* ``RayStats`` — rays/s accounting (camera rays, bounce segments,
-  Mrays/s/chip) used by bench.py and the CLI.
+  TensorBoard-compatible trace (op-level TPU timeline); exposed via the
+  CLI's ``--profile LOGDIR`` flag;
+* ``Timer`` — phase timer that synchronises via a real device->host
+  transfer (``block_until_ready`` does not reliably block on the tunneled
+  axon device — docs/DESIGN.md §7);
+* ``RayStats`` — rays/s accounting (camera rays, Mrays/s/chip), used by
+  render_image's completion log.
 """
 
 from __future__ import annotations
@@ -15,7 +18,6 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import time
-from typing import Optional
 
 
 @contextlib.contextmanager
@@ -32,7 +34,9 @@ def trace(logdir: str):
 
 class Timer:
     """Wall-clock phase timer; call with pending device values to include
-    device completion (block_until_ready) in the measurement."""
+    device completion in the measurement.  Synchronisation materialises the
+    values on the host (true sync even where block_until_ready is
+    unreliable)."""
 
     def __init__(self):
         self._t0 = time.perf_counter()
@@ -40,8 +44,10 @@ class Timer:
     def elapsed(self, *pending) -> float:
         if pending:
             import jax
+            import numpy as _np
 
-            jax.block_until_ready(pending)
+            for leaf in jax.tree.leaves(pending):
+                _np.asarray(leaf)
         return time.perf_counter() - self._t0
 
 
