@@ -54,31 +54,53 @@ def _scan_tile(n_prims: int) -> int:
     return max(8, -(-n_prims // 8) * 8)
 
 
-def _tile_signatures(host_geom, tile: int, n_tiles: int):
-    """Host-side (NumPy) per-tile specialisation flags for the unrolled
-    sweep: (types present, any motion, any non-identity transform).
+# Unroll guard: scenes whose type runs alternate pathologically fall back
+# to uniform tiles rather than emitting hundreds of specialised bodies.
+MAX_PLAN_TILES = 48
+
+
+def _tile_plan(host_geom, n_prims: int, max_tile: int):
+    """Host-side (NumPy) variable-width tile plan for the unrolled sweep.
+
+    Tiles are split at primitive-TYPE (and transform-presence) boundaries,
+    then chunked to ``max_tile``: scene builders emit type-clustered arrays
+    (e.g. final: 2401 rects | 4 spheres | 2 media | 1002 spheres), so run
+    splitting removes mixed tiles entirely — each tile compiles only one
+    type's intersection math, and run-exact widths replace padding.
 
     Only *structural* properties are inspected — integer type tags and the
-    rotation/translation fields, none of which are trainable parameters — so
-    a specialisation computed at trace time stays valid for every value of
-    the differentiable scene parameters.
+    rotation/translation fields, none of which are trainable parameters —
+    so a specialisation computed at trace time stays valid for every value
+    of the differentiable scene parameters.
+
+    Returns [(start, width, types, motion, xform)] covering [0, n_prims).
     """
-    pt = np.asarray(host_geom.ptype)
-    rot = np.asarray(host_geom.rot)
-    trans = np.asarray(host_geom.trans)
-    p0 = np.asarray(host_geom.p0)
-    p1 = np.asarray(host_geom.p1)
+    pt = np.asarray(host_geom.ptype)[:n_prims]
+    rot = np.asarray(host_geom.rot)[:n_prims]
+    trans = np.asarray(host_geom.trans)[:n_prims]
+    p0 = np.asarray(host_geom.p0)[:n_prims]
+    p1 = np.asarray(host_geom.p1)[:n_prims]
     eye = np.eye(3, dtype=rot.dtype)
-    sigs = []
-    for i in range(n_tiles):
-        sl = slice(i * tile, min((i + 1) * tile, pt.shape[0]))
-        types = frozenset(int(v) for v in np.unique(pt[sl])) - {PT_NONE}
-        motion = bool(
-            ((pt[sl] == PT_SPHERE)
-             & np.any(p0[sl] != p1[sl], axis=-1)).any())
-        xform = bool(np.any(rot[sl] != eye) or np.any(trans[sl] != 0))
-        sigs.append((types, motion, xform))
-    return sigs
+    has_xf = np.any(rot != eye, axis=(1, 2)) | np.any(trans != 0, axis=1)
+    moving = (pt == PT_SPHERE) & np.any(p0 != p1, axis=-1)
+
+    # Run boundaries on (type, xform) — motion interleaves randomly in the
+    # grid scenes, so it stays a per-tile "any" flag rather than a key.
+    key = pt.astype(np.int64) * 2 + has_xf
+    bounds = [0] + (np.flatnonzero(key[1:] != key[:-1]) + 1).tolist() \
+        + [n_prims]
+    plan = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        for s in range(a, b, max_tile):
+            w = min(max_tile, b - s)
+            sl = slice(s, s + w)
+            plan.append((
+                s, w,
+                frozenset(int(v) for v in np.unique(pt[sl])) - {PT_NONE},
+                bool(moving[sl].any()),
+                bool(has_xf[sl].any()),
+            ))
+    return plan
 
 
 def make_scan_intersector(static, host_geom=None):
@@ -98,19 +120,25 @@ def make_scan_intersector(static, host_geom=None):
     # multiplies passes, and the cancellation in |o|^2 - 2 o.c + |c|^2
     # flips decision-boundary hits (~1e-3 t error vs ~1e-5).  The VPU
     # epilogue, not the dot products, is the roofline here.
+    plan = None
     if host_geom is not None:
-        sigs = _tile_signatures(host_geom, tile, n_tiles)
-        tile_hit = [
-            make_prim_intersector(static, types=types, has_motion=motion,
-                                  has_xform=xform)
-            for types, motion, xform in sigs
-        ]
-    else:
-        tile_hit = None
+        plan = _tile_plan(host_geom, n_prims, SCAN_TILE)
+        if len(plan) <= MAX_PLAN_TILES:
+            plan = [
+                (s, w,
+                 make_prim_intersector(static, types=types,
+                                       has_motion=motion, has_xform=xform))
+                for s, w, types, motion, xform in plan
+            ]
+        else:
+            plan = None
+    if plan is None:
         hit_t = make_prim_intersector(static)
 
     def scan_all(geom, o, d, time, t_min, ray_bits, active):
-        if p_pad != n_prims:
+        if plan is None and p_pad != n_prims:
+            # Uniform-tile fallback pads to a whole number of tiles; the
+            # planned path uses run-exact widths and needs no padding.
             def pad(x, fill):
                 widths = [(0, p_pad - n_prims)] + [(0, 0)] * (x.ndim - 1)
                 return jnp.pad(x, widths, constant_values=fill)
@@ -131,14 +159,11 @@ def make_scan_intersector(static, host_geom=None):
         t0 = jnp.where(active, BIG + vary0, jnp.float32(-BIG))
         best0 = vary0.astype(jnp.int32) - 1
 
-        def tile_slice(i, unsqueeze):
-            start = i * tile
+        def tile_slice(start, width):
             sl = [jax.lax.dynamic_slice_in_dim(getattr(geom, k), start,
-                                               tile, 0)
+                                               width, 0)[None]
                   for k in PrimFields._fields]
-            if unsqueeze:
-                sl = [a[None] for a in sl]
-            return start, PrimFields(*sl)
+            return PrimFields(*sl)
 
         def fold(start, t, t_best, best):
             # Ties break to the lowest primitive index (argmin picks the
@@ -150,20 +175,22 @@ def make_scan_intersector(static, host_geom=None):
             return (jnp.where(upd, tt, t_best),
                     jnp.where(upd, start + j, best))
 
-        def tile_step(i, t_best, best, hit_fn):
-            start, pf = tile_slice(i, True)
+        def tile_step(start, width, t_best, best, hit_fn):
+            pf = tile_slice(start, width)
             t = hit_fn(pf, o_b, d_b, time_b, t_min, t_best[:, None], bits_b,
-                       jnp)  # [N, tile]
+                       jnp)  # [N, width]
             return fold(start, t, t_best, best)
 
-        if tile_hit is not None:
-            # Unrolled: each tile gets its own specialised intersection code.
+        if plan is not None:
+            # Unrolled: each run-aligned tile gets its own specialised
+            # intersection code (see _tile_plan).
             t_best, best = t0, best0
-            for i in range(n_tiles):
-                t_best, best = tile_step(i, t_best, best, tile_hit[i])
+            for start, width, hit_fn in plan:
+                t_best, best = tile_step(start, width, t_best, best,
+                                         hit_fn)
         else:
             def body(i, carry):
-                return tile_step(i, carry[0], carry[1], hit_t)
+                return tile_step(i * tile, tile, carry[0], carry[1], hit_t)
 
             t_best, best = jax.lax.fori_loop(0, n_tiles, body, (t0, best0))
         t_best = jnp.where(active, t_best, BIG)
