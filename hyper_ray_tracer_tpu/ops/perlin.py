@@ -20,9 +20,9 @@ parity.  Table lookups are gathers, and per-element gathers are the slowest
 access pattern on a vector machine (measured ~35 ms per 90k-ray turbulence
 evaluation on TPU v5e — the single largest shading cost).  We therefore
 define the permutations and gradient vectors as **bijective 8-bit hash
-functions** (seed-keyed multiply/xor-shift rounds — every step invertible,
-so each axis map is a true permutation of 0..255) and murmur-style gradient
-hashes:
+functions** (seed-keyed add/xor/shift rounds — every step invertible, so
+each axis map is a true permutation of 0..255; no 32-bit integer
+multiplies, the slow VPU op) and ARX-hash gradients:
 
 * ``make_tables(seed)`` materialises the hash functions into the classic
   table form, used by the scalar ``noise()`` (oracle, unit tests).
@@ -43,19 +43,22 @@ TURBULENCE_DEPTH = 7  # textures/noise_texture.rs:28 passes depth=7
 _U32 = np.uint32
 _MASK8 = np.int32(POINT_COUNT - 1)
 
-# Odd multipliers for the 8-bit permutation rounds (odd => bijective mod 256).
-_PA = _U32(167)
-_PB = _U32(83)
-_PC = _U32(229)
 
+def _mix32(h):
+    """Avalanche mixer on uint32 built from adds/xors/shifts only.
 
-def _fmix(h):
-    """murmur3 finalizer on uint32 (wrapping); xp-generic via dtype."""
+    32-bit integer multiplies are the slow op on the TPU VPU (measured:
+    they dominated the murmur-based turbulence); xorshift rounds with a
+    golden-ratio add run at full vector rate.  Quality only needs to spread
+    8 bits of lattice entropy over the uniform bits — far below a
+    general-purpose hash bar.
+    """
     with np.errstate(over="ignore"):  # uint32 wraparound is the algorithm
         h = h ^ (h >> _U32(16))
-        h = h * _U32(0x85EB_CA6B)
-        h = h ^ (h >> _U32(13))
-        h = h * _U32(0xC2B2_AE35)
+        h = h + _U32(0x9E37_79B9)
+        h = h ^ (h << _U32(13))
+        h = h ^ (h >> _U32(17))
+        h = h ^ (h << _U32(5))
         h = h ^ (h >> _U32(16))
     return h
 
@@ -63,17 +66,19 @@ def _fmix(h):
 def _perm8(x, k1, k2):
     """Seed-keyed bijection on 0..255 (inputs uint32 in-range).
 
-    Every round is invertible on 8 bits: xor-constant, odd multiply mod 256,
-    and x ^= x >> k (triangular).  Composition is therefore a permutation.
+    Every round is invertible on 8 bits: xor/add constants, shift-add
+    multiplication by odd 9/5/3 (x + (x<<k) mod 256 — no integer multiply
+    instruction), and x ^= x >> k (triangular).  Composition is therefore a
+    permutation.
     """
     m8 = _U32(0xFF)
     x = (x ^ k1) & m8
-    x = (x * _PA) & m8
+    x = (x + (x << _U32(3))) & m8  # * 9
     x = x ^ (x >> _U32(4))
-    x = (x * _PB) & m8
+    x = (x + k2) & m8
+    x = (x + (x << _U32(2))) & m8  # * 5
     x = x ^ (x >> _U32(3))
-    x = (x ^ k2) & m8
-    x = (x * _PC) & m8
+    x = (x + (x << _U32(1))) & m8  # * 3
     x = x ^ (x >> _U32(2))
     return x
 
@@ -81,12 +86,15 @@ def _perm8(x, k1, k2):
 def _grad(h, gseed, xp):
     """Gradient vector for lattice hash ``h``: normalize(uniform(-1,1)^3),
     the reference's cube-corner-biased distribution (perlin_noise.rs:26-34),
-    with the three uniforms drawn from murmur hashes of (h, axis)."""
+    with the three uniforms drawn from ARX hashes of (h, axis)."""
     with np.errstate(over="ignore"):
-        hh = h.astype(_U32) * _U32(0x9E37_79B1) + gseed
+        h32 = h.astype(_U32)
+        # Spread the 8 lattice bits across the word before mixing.
+        h32 = h32 | (h32 << _U32(8)) | (h32 << _U32(16)) | (h32 << _U32(24))
+        hh = h32 ^ gseed
     comps = []
     for salt in (_U32(0x68E3_1DA4), _U32(0xB529_7A4D), _U32(0x334D_4C65)):
-        bits = _fmix(hh ^ salt)
+        bits = _mix32(hh ^ salt)
         u = bits.astype(np.float32) * np.float32(2.0 ** -32)
         comps.append(2.0 * u - 1.0)
     v = xp.stack(comps, axis=-1)
@@ -124,7 +132,7 @@ class PerlinTables(NamedTuple):
 def make_keys(seed: int = 0) -> PerlinKeys:
     # 0-d arrays (not NumPy scalars): array uint32 arithmetic wraps silently.
     s = np.asarray(seed, _U32) ^ _U32(0x05E1_1A57)
-    ks = [_fmix(s + np.asarray(i * 0x9E37_79B9 & 0xFFFF_FFFF, _U32))
+    ks = [_mix32(s + np.asarray(i * 0x9E37_79B9 & 0xFFFF_FFFF, _U32))
           for i in range(7)]
     return PerlinKeys(
         kx1=ks[0] & _U32(0xFF), kx2=ks[1] & _U32(0xFF),
