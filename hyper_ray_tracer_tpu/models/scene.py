@@ -402,6 +402,22 @@ class SceneBuilder:
         n = len(self._prims)
         if n == 0:
             raise ValueError("no primitives in scene")
+
+        # Canonical primitive order: stable-sorted by (type, transform
+        # presence, plane axis).  This is THE order everywhere (oracle,
+        # renderer, trainable arrays), so closest-hit tie-breaks stay
+        # consistent, and it clusters the dense sweep's run-aligned tiles
+        # into type- and axis-pure runs whose intersection math specialises
+        # completely (ops/bvh.py:_tile_plan).  List order has no other
+        # semantics in the reference (list.rs scans whatever order the
+        # builder produced).
+        eye3 = np.eye(3, dtype=np.float32)
+        self._prims.sort(key=lambda p: (
+            p["ptype"],
+            int(not np.array_equal(p["rot"], eye3)
+                or np.any(p["trans"] != 0)),
+            p["axis"],
+        ))
         aabbs = [self._prim_aabb(p) for p in self._prims]
 
         n_pad = -(-n // pad_to_multiple) * pad_to_multiple

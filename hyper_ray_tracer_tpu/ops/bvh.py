@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.scene import PT_NONE, PT_SPHERE
+from ..models.scene import PT_NONE, PT_RECT, PT_SPHERE
 from .intersect import BIG, PrimFields, aabb_hit, gather_prim, \
     make_prim_intersector
 
@@ -84,9 +84,13 @@ def _tile_plan(host_geom, n_prims: int, max_tile: int):
     has_xf = np.any(rot != eye, axis=(1, 2)) | np.any(trans != 0, axis=1)
     moving = (pt == PT_SPHERE) & np.any(p0 != p1, axis=-1)
 
-    # Run boundaries on (type, xform) — motion interleaves randomly in the
-    # grid scenes, so it stays a per-tile "any" flag rather than a key.
-    key = pt.astype(np.int64) * 2 + has_xf
+    # Run boundaries on (type, xform, plane axis) — motion interleaves
+    # randomly in the grid scenes, so it stays a per-tile "any" flag rather
+    # than a key.  The builder emits this exact sort order
+    # (scene.py:finalize), so runs are maximal.
+    axis = np.asarray(host_geom.axis)[:n_prims]
+    key = (pt.astype(np.int64) * 8 + has_xf * 4
+           + np.where(pt == PT_RECT, axis, 0))
     bounds = [0] + (np.flatnonzero(key[1:] != key[:-1]) + 1).tolist() \
         + [n_prims]
     plan = []
@@ -94,11 +98,15 @@ def _tile_plan(host_geom, n_prims: int, max_tile: int):
         for s in range(a, b, max_tile):
             w = min(max_tile, b - s)
             sl = slice(s, s + w)
+            types = frozenset(int(v) for v in np.unique(pt[sl])) - {PT_NONE}
+            rect_axis = None
+            if types == {PT_RECT} and np.unique(axis[sl]).size == 1:
+                rect_axis = int(axis[sl][0])
             plan.append((
-                s, w,
-                frozenset(int(v) for v in np.unique(pt[sl])) - {PT_NONE},
+                s, w, types,
                 bool(moving[sl].any()),
                 bool(has_xf[sl].any()),
+                rect_axis,
             ))
     return plan
 
@@ -127,8 +135,9 @@ def make_scan_intersector(static, host_geom=None):
             plan = [
                 (s, w,
                  make_prim_intersector(static, types=types,
-                                       has_motion=motion, has_xform=xform))
-                for s, w, types, motion, xform in plan
+                                       has_motion=motion, has_xform=xform,
+                                       rect_axis=rect_axis))
+                for s, w, types, motion, xform, rect_axis in plan
             ]
         else:
             plan = None

@@ -134,10 +134,23 @@ def _rect_components(axis, vec, xp):
     return vk, va, vb
 
 
-def rect_t(pf: PrimFields, o, d, t_min, t_max, xp):
-    """Axis-aligned rect hit in object space (rect.rs:53-86), BIG on miss."""
-    ok_, oa, ob = _rect_components(pf.axis, o, xp)
-    dk, da, db = _rect_components(pf.axis, d, xp)
+# Static component picks per plane tag: PLANE_XY=0 -> (z, x, y),
+# PLANE_YZ=1 -> (x, y, z), PLANE_ZX=2 -> (y, z, x)  (rect.rs:54-58).
+_PLANE_KAB = {0: (2, 0, 1), 1: (0, 1, 2), 2: (1, 2, 0)}
+
+
+def rect_t(pf: PrimFields, o, d, t_min, t_max, xp, axis=None):
+    """Axis-aligned rect hit in object space (rect.rs:53-86), BIG on miss.
+
+    ``axis``: static plane tag when the whole primitive tile shares one
+    (axis-pure tiles skip the per-prim component selects entirely)."""
+    if axis is None:
+        ok_, oa, ob = _rect_components(pf.axis, o, xp)
+        dk, da, db = _rect_components(pf.axis, d, xp)
+    else:
+        ki, ai, bi = _PLANE_KAB[int(axis)]
+        ok_, oa, ob = o[..., ki], o[..., ai], o[..., bi]
+        dk, da, db = d[..., ki], d[..., ai], d[..., bi]
     a0, b0, k = pf.p0[..., 0], pf.p0[..., 1], pf.p0[..., 2]
     a1, b1 = pf.p1[..., 0], pf.p1[..., 1]
     # Safe division: a zero dk is masked out explicitly (the reference
@@ -196,7 +209,7 @@ def medium_box_t(pf: PrimFields, o, d, t_min, t_max, med_u, xp):
 
 
 def make_prim_intersector(static, *, types=None, has_motion=None,
-                          has_xform=None):
+                          has_xform=None, rect_axis=None):
     """Returns hit_t(pf, o, d, time, t_min, t_max, ray_bits, xp) -> t.
 
     ``ray_bits``: per-ray uint32 (per pixel/sample/bounce) from which the
@@ -238,7 +251,8 @@ def make_prim_intersector(static, *, types=None, has_motion=None,
         if PT_RECT in types:
             t = xp.where(
                 pf.ptype == PT_RECT,
-                rect_t(pf, o_obj, d_obj, t_min, t_max, xp),
+                rect_t(pf, o_obj, d_obj, t_min, t_max, xp,
+                       axis=rect_axis),
                 t,
             )
         if has_media:
