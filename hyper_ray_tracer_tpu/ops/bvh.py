@@ -136,7 +136,8 @@ def make_scan_intersector(static, host_geom=None):
                 (s, w,
                  make_prim_intersector(static, types=types,
                                        has_motion=motion, has_xform=xform,
-                                       rect_axis=rect_axis))
+                                       rect_axis=rect_axis,
+                                       assume_pure=True))
                 for s, w, types, motion, xform, rect_axis in plan
             ]
         else:

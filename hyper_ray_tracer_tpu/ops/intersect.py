@@ -209,7 +209,8 @@ def medium_box_t(pf: PrimFields, o, d, t_min, t_max, med_u, xp):
 
 
 def make_prim_intersector(static, *, types=None, has_motion=None,
-                          has_xform=None, rect_axis=None):
+                          has_xform=None, rect_axis=None,
+                          assume_pure=False):
     """Returns hit_t(pf, o, d, time, t_min, t_max, ray_bits, xp) -> t.
 
     ``ray_bits``: per-ray uint32 (per pixel/sample/bounce) from which the
@@ -233,6 +234,9 @@ def make_prim_intersector(static, *, types=None, has_motion=None,
             types |= {PT_MEDIUM_SPHERE, PT_MEDIUM_BOX}
     types = frozenset(types)
     has_media = bool(types & {PT_MEDIUM_SPHERE, PT_MEDIUM_BOX})
+    # assume_pure: the caller guarantees every lane is of the single type
+    # (run-exact tile widths, no padding), so the tag mask is redundant.
+    pure = assume_pure and len(types) == 1
 
     def hit_t(pf: PrimFields, o, d, time, t_min, t_max, ray_bits, xp):
         if has_xform:
@@ -242,37 +246,28 @@ def make_prim_intersector(static, *, types=None, has_motion=None,
 
         t = BIG
         if PT_SPHERE in types:
-            t = xp.where(
-                pf.ptype == PT_SPHERE,
-                sphere_t(pf, o_obj, d_obj, time, t_min, t_max, has_motion,
-                         xp),
-                t,
-            )
+            ts = sphere_t(pf, o_obj, d_obj, time, t_min, t_max, has_motion,
+                          xp)
+            t = ts if pure else xp.where(pf.ptype == PT_SPHERE, ts, t)
         if PT_RECT in types:
-            t = xp.where(
-                pf.ptype == PT_RECT,
-                rect_t(pf, o_obj, d_obj, t_min, t_max, xp,
-                       axis=rect_axis),
-                t,
-            )
+            tr = rect_t(pf, o_obj, d_obj, t_min, t_max, xp,
+                        axis=rect_axis)
+            t = tr if pure else xp.where(pf.ptype == PT_RECT, tr, t)
         if has_media:
             med_u = prng.bits_to_uniform(
                 prng.stream_bits(ray_bits, prng.P_MEDIUM,
                                  pf.stable_id.astype(np.uint32))
             )
             if PT_MEDIUM_SPHERE in types:
-                t = xp.where(
-                    pf.ptype == PT_MEDIUM_SPHERE,
-                    medium_sphere_t(pf, o_obj, d_obj, t_min, t_max, med_u,
-                                    xp),
-                    t,
-                )
+                tm_ = medium_sphere_t(pf, o_obj, d_obj, t_min, t_max,
+                                      med_u, xp)
+                t = tm_ if pure else xp.where(
+                    pf.ptype == PT_MEDIUM_SPHERE, tm_, t)
             if PT_MEDIUM_BOX in types:
-                t = xp.where(
-                    pf.ptype == PT_MEDIUM_BOX,
-                    medium_box_t(pf, o_obj, d_obj, t_min, t_max, med_u, xp),
-                    t,
-                )
+                tb_ = medium_box_t(pf, o_obj, d_obj, t_min, t_max, med_u,
+                                   xp)
+                t = tb_ if pure else xp.where(
+                    pf.ptype == PT_MEDIUM_BOX, tb_, t)
         if not types:
             t = xp.broadcast_to(
                 xp.asarray(BIG), xp.broadcast_shapes(
