@@ -136,3 +136,43 @@ def test_native_builder_matches_numpy():
         for x, y, name in zip(a, b, ["bmin", "bmax", "first", "count",
                                      "skip", "perm"]):
             np.testing.assert_array_equal(x, y), (leaf, name)
+
+
+def test_tile_plan_runs_and_fallback():
+    """Run-aligned tile planning: type/axis-pure runs, exact coverage,
+    and the uniform-tile fallback past MAX_PLAN_TILES runs."""
+    import numpy as np
+
+    from hyper_ray_tracer_tpu import build_scene
+    from hyper_ray_tracer_tpu.ops.bvh import (
+        MAX_PLAN_TILES,
+        SCAN_TILE,
+        _tile_plan,
+        make_scan_intersector,
+    )
+
+    scene = build_scene("final")
+    g = scene.arrays.geom
+    n = scene.static.n_prims
+    plan = _tile_plan(g, n, SCAN_TILE)
+
+    # Exact, ordered, gap-free coverage of [0, n).
+    pos = 0
+    for start, width, types, motion, xform, rect_axis in plan:
+        assert start == pos and width > 0
+        pos += width
+        assert len(types) == 1  # runs are type-pure on this scene
+        if rect_axis is not None:
+            assert np.unique(
+                np.asarray(g.axis)[start:start + width]).tolist() \
+                == [rect_axis]
+    assert pos == n
+    assert len(plan) <= MAX_PLAN_TILES
+
+    # A pathological alternating layout falls back to the generic sweep.
+    import hyper_ray_tracer_tpu.models.scene as S
+    alt = g._replace(ptype=np.where(
+        np.arange(g.ptype.shape[0]) % 2 == 0, S.PT_SPHERE, S.PT_RECT
+    ).astype(np.int32))
+    many = _tile_plan(alt, n, SCAN_TILE)
+    assert len(many) > MAX_PLAN_TILES  # would fall back in the intersector
