@@ -336,11 +336,23 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     def _compact(state, slots, bucket):
         """Pack alive lanes first (stable) and keep the first ``bucket``.
         The host guarantees bucket >= alive count, so only dead lanes are
-        dropped; kept dead lanes have zero pending radiance."""
+        dropped.  Only the live fields are gathered: post-pack ``alive`` is
+        just iota < count, and ``radiance`` was flushed, so both are
+        recomputed instead of moved (compaction is gather-bound)."""
         order = jnp.argsort(~state.alive, stable=True)
         idx = order[:bucket]
-        g = jax.tree.map(lambda a: a[idx], state)
-        return (g._replace(radiance=jnp.zeros_like(g.radiance)), slots[idx])
+        n_alive = state.alive.sum()
+        packed_alive = jnp.arange(bucket) < n_alive
+        g = WavefrontState(
+            o=state.o[idx],
+            d=state.d[idx],
+            time=state.time[idx],
+            base=state.base[idx],
+            alive=packed_alive,
+            throughput=state.throughput[idx],
+            radiance=jnp.zeros((bucket, 3), state.radiance.dtype),
+        )
+        return g, slots[idx]
 
     flush_jit = jax.jit(_flush)
     compact_jit = jax.jit(_compact, static_argnums=(2,))
