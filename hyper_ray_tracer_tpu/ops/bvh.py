@@ -62,18 +62,21 @@ MAX_PLAN_TILES = 48
 def _tile_plan(host_geom, n_prims: int, max_tile: int):
     """Host-side (NumPy) variable-width tile plan for the unrolled sweep.
 
-    Tiles are split at primitive-TYPE (and transform-presence) boundaries,
-    then chunked to ``max_tile``: scene builders emit type-clustered arrays
-    (e.g. final: 2401 rects | 4 spheres | 2 media | 1002 spheres), so run
-    splitting removes mixed tiles entirely — each tile compiles only one
-    type's intersection math, and run-exact widths replace padding.
+    Tiles are split at primitive-TYPE / transform / plane-axis boundaries,
+    then chunked to ``max_tile``: the builder's canonical sort
+    (scene.py:finalize) clusters primitives (e.g. final: 1006 spheres |
+    2401 rects grouped by axis | 2 media), so run splitting removes mixed
+    tiles entirely — each tile compiles only one type's (and for rects one
+    axis's) intersection math, and run-exact widths replace padding.
 
     Only *structural* properties are inspected — integer type tags and the
     rotation/translation fields, none of which are trainable parameters —
     so a specialisation computed at trace time stays valid for every value
     of the differentiable scene parameters.
 
-    Returns [(start, width, types, motion, xform)] covering [0, n_prims).
+    Returns [(start, width, types, motion, xform, rect_axis)] covering
+    [0, n_prims); ``rect_axis`` is the static plane tag for axis-pure rect
+    tiles, else None.
     """
     pt = np.asarray(host_geom.ptype)[:n_prims]
     rot = np.asarray(host_geom.rot)[:n_prims]

@@ -25,6 +25,7 @@ from typing import NamedTuple
 import numpy as np
 
 from ..models.scene import (
+    PLANE_AXES,
     PT_MEDIUM_BOX,
     PT_MEDIUM_SPHERE,
     PT_RECT,
@@ -134,11 +135,6 @@ def _rect_components(axis, vec, xp):
     return vk, va, vb
 
 
-# Static component picks per plane tag: PLANE_XY=0 -> (z, x, y),
-# PLANE_YZ=1 -> (x, y, z), PLANE_ZX=2 -> (y, z, x)  (rect.rs:54-58).
-_PLANE_KAB = {0: (2, 0, 1), 1: (0, 1, 2), 2: (1, 2, 0)}
-
-
 def rect_t(pf: PrimFields, o, d, t_min, t_max, xp, axis=None):
     """Axis-aligned rect hit in object space (rect.rs:53-86), BIG on miss.
 
@@ -148,7 +144,7 @@ def rect_t(pf: PrimFields, o, d, t_min, t_max, xp, axis=None):
         ok_, oa, ob = _rect_components(pf.axis, o, xp)
         dk, da, db = _rect_components(pf.axis, d, xp)
     else:
-        ki, ai, bi = _PLANE_KAB[int(axis)]
+        ki, ai, bi = PLANE_AXES[int(axis)]  # rect.rs:54-58
         ok_, oa, ob = o[..., ki], o[..., ai], o[..., bi]
         dk, da, db = d[..., ki], d[..., ai], d[..., bi]
     a0, b0, k = pf.p0[..., 0], pf.p0[..., 1], pf.p0[..., 2]

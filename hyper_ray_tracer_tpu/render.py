@@ -48,6 +48,10 @@ from .ops.materials import shade
 
 T_MIN = np.float32(1.0e-3)  # application.rs:482
 
+# Bump when a change alters rendered output for a fixed seed (checkpoint
+# accumulators from other versions must not be resumed — see render_image).
+RENDER_FORMAT_VERSION = 2
+
 # Gradient sky (BASELINE configs 1-2; the book's sky, not in the reference,
 # which uses a flat per-scene background color, application.rs:482-484).
 _SKY_WHITE = np.float32([1.0, 1.0, 1.0])
@@ -450,8 +454,13 @@ def render_image(scene: Scene, settings: RenderSettings,
     # ``samples`` (the target) is intentionally NOT part of the identity:
     # a checkpoint at k spp resumes toward any target >= k — samples are
     # streamed by id, so extending a render is always well-defined.
+    # ``format`` IS part of it: it is bumped whenever a release changes the
+    # rendered realization for a fixed seed (noise hash, RNG spec, canonical
+    # primitive order, ...), so a stale accumulator is rejected instead of
+    # silently blended with samples from a different estimator.
     meta = dict(scene=scene.name, width=W, height=H,
-                depth=settings.depth, seed=settings.seed)
+                depth=settings.depth, seed=settings.seed,
+                format=RENDER_FORMAT_VERSION)
     acc = np.zeros((W * H, 3), np.float64)
     s = 0
     if settings.checkpoint_path:

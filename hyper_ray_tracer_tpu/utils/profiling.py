@@ -8,7 +8,7 @@ tile (`/root/reference/src/application.rs:260-280`).  Here (SURVEY.md §5):
   CLI's ``--profile LOGDIR`` flag;
 * ``Timer`` — phase timer that synchronises via a real device->host
   transfer (``block_until_ready`` does not reliably block on the tunneled
-  axon device — docs/DESIGN.md §7);
+  axon device — docs/DESIGN.md §8);
 * ``RayStats`` — rays/s accounting (camera rays, Mrays/s/chip), used by
   render_image's completion log.
 """
