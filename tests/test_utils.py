@@ -51,3 +51,28 @@ def test_checkpoint_mismatch_restarts(tmp_path):
     b = render_image(scene, RenderSettings(width=20, height=12, samples=2,
                                            depth=3, checkpoint_path=ck))
     assert not np.array_equal(a, b)
+
+
+def test_checkpoint_format_version_rejected(tmp_path, caplog):
+    """Accumulators written by a release with a different rendered
+    realization (format version) must be rejected, not blended."""
+    import logging
+
+    from hyper_ray_tracer_tpu import build_scene
+    from hyper_ray_tracer_tpu.render import RenderSettings, render_image
+    from hyper_ray_tracer_tpu.utils import checkpoint as ckpt
+
+    scene = build_scene("three-spheres")
+    path = str(tmp_path / "c.ckpt")
+    s = dict(width=16, height=9, samples=2, depth=3, seed=1)
+
+    img_fresh = render_image(scene, RenderSettings(**s))
+
+    # Forge a stale-version checkpoint claiming 1 finished sample of junk.
+    junk = np.full((16 * 9, 3), 7.0, np.float64)
+    ckpt.save_state(path, junk, 1, dict(scene="three-spheres", width=16,
+                                        height=9, depth=3, seed=1,
+                                        format=1))
+    with caplog.at_level(logging.WARNING):
+        img = render_image(scene, RenderSettings(**s, checkpoint_path=path))
+    np.testing.assert_array_equal(img, img_fresh)  # started fresh
