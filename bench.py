@@ -72,6 +72,8 @@ def main() -> int:
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_CPU_MRAYS, 3),
+                "baseline": "estimated (reference publishes no numbers; "
+                "divisor is a ~1.0 Mrays/s estimate of the Rust CPU build)",
             }
         )
     )

@@ -35,6 +35,12 @@ the eight reference scenes, documented per SURVEY.md §2.2):
   is not reproduced; we always orient the outward normal against the ray.
 * Sphere UVs for *rotated* spheres are computed in world space (the baked
   frame); the reference's rotated spheres are all solid-color (UV unused).
+* Closest-hit ties break to the LOWEST primitive index (strict ``<`` fold,
+  ops/bvh.py); the reference's list.rs scan accepts ``t == closest`` and so
+  lets the LAST-listed object win exact ties (e.g. a coplanar cuboid face on
+  the cornell floor).  Tied surfaces in the eight reference scenes share a
+  material, so images agree; scenes with coplanar mixed-material geometry
+  could differ on the shared plane.
 """
 
 from __future__ import annotations

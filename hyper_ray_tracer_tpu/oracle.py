@@ -139,10 +139,14 @@ class Oracle:
             t_entry = (-half_b - sq) / a
             t_exit = (-half_b + sq) / a
         elif pt == PT_MEDIUM_BOX:
-            with np.errstate(divide="ignore", invalid="ignore"):
-                inv = 1.0 / d
-                t_lo = (g.p0[i] - o) * inv
-                t_hi = (g.p1[i] - o) * inv
+            # Same tiny-magnitude floor as the renderer's medium_box_t
+            # (ops/intersect.py) so an axis-parallel ray whose origin lies
+            # exactly on a slab plane follows one shared convention
+            # (raw 1/d would make 0*inf = NaN here and a guaranteed miss).
+            d_safe = np.where(np.abs(d) < 1e-20, 1e-20, d)
+            inv = 1.0 / d_safe
+            t_lo = (g.p0[i] - o) * inv
+            t_hi = (g.p1[i] - o) * inv
             t_entry = float(np.minimum(t_lo, t_hi).max())
             t_exit = float(np.maximum(t_lo, t_hi).min())
             if not (t_exit > t_entry):

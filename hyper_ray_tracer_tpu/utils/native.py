@@ -4,9 +4,12 @@ Currently: the flattened-BVH builder (native/bvh_builder.cpp), which mirrors
 models/bvh_build._build_numpy bit-for-bit (both use stable sorts and the
 same traversal order, so their outputs are identical arrays).
 
-The library is compiled on demand with the repo's Makefile if g++ is
-available; everything degrades gracefully to the NumPy implementation when
-compilation is impossible (no toolchain, read-only checkout, ...).
+A prebuilt ``native/libhrt_native.so`` is CDLL-loaded when present.  If it
+is missing, the library is compiled with the repo's Makefile only when the
+user opts in via ``HRT_BUILD_NATIVE=1`` (an implicit compiler invocation
+inside a render call surprises sandboxed environments); otherwise — and on
+any failure — everything degrades gracefully to the NumPy implementation.
+``HRT_DISABLE_NATIVE=1`` skips the native path entirely.
 """
 
 from __future__ import annotations
@@ -37,6 +40,9 @@ def _load() -> Optional[ctypes.CDLL]:
         if not _LIB_PATH.exists():
             src = _NATIVE_DIR / "bvh_builder.cpp"
             if not src.exists():
+                return None
+            # Compiling as a side effect of a library call is opt-in only.
+            if not os.environ.get("HRT_BUILD_NATIVE"):
                 return None
             subprocess.run(
                 ["make", "-C", str(_NATIVE_DIR), "-s"],

@@ -12,6 +12,11 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 )
 
+# The test suite opts in to on-demand compilation of the native helpers
+# (utils/native.py gates implicit `make` behind this; library users must
+# set it themselves or ship a prebuilt .so).
+os.environ.setdefault("HRT_BUILD_NATIVE", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
