@@ -36,17 +36,20 @@ def main() -> int:
 
     from hyper_ray_tracer_tpu import build_scene
     from hyper_ray_tracer_tpu.camera import make_basis
-    from hyper_ray_tracer_tpu.render import make_ray_colorer, prepare_scene
-
-    from hyper_ray_tracer_tpu.render import make_compacting_renderer
+    from hyper_ray_tracer_tpu.render import (
+        block_order,
+        make_compacting_renderer,
+        prepare_scene,
+    )
 
     scene = build_scene(SCENE)
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, mode = prepare_scene(scene)
     basis = make_basis(scene.camera, W, H)
-    run = make_compacting_renderer(scene, W, H, DEPTH, use_bvh)
+    run = make_compacting_renderer(scene, W, H, DEPTH, mode)
 
     n_rays = W * H * SPP
-    pixel_ids = np.tile(np.arange(W * H, dtype=np.int32), SPP)
+    # Image-block launch order: coherent ray tiles for the cluster culler.
+    pixel_ids = np.tile(block_order(W, H), SPP)
     sample_ids = np.repeat(np.arange(SPP, dtype=np.int32), W * H)
 
     arrays, bvh, basis = jax.device_put((arrays, bvh, basis))

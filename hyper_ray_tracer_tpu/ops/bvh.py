@@ -59,24 +59,22 @@ def _scan_tile(n_prims: int) -> int:
 MAX_PLAN_TILES = 48
 
 
-def _tile_plan(host_geom, n_prims: int, max_tile: int):
-    """Host-side (NumPy) variable-width tile plan for the unrolled sweep.
+def type_runs(host_geom, n_prims: int):
+    """Host-side (NumPy) maximal type-pure runs of the canonical order.
 
-    Tiles are split at primitive-TYPE / transform / plane-axis boundaries,
-    then chunked to ``max_tile``: the builder's canonical sort
-    (scene.py:finalize) clusters primitives (e.g. final: 1006 spheres |
-    2401 rects grouped by axis | 2 media), so run splitting removes mixed
-    tiles entirely — each tile compiles only one type's (and for rects one
-    axis's) intersection math, and run-exact widths replace padding.
+    Runs are split at primitive-TYPE / transform / plane-axis boundaries:
+    the builder's canonical sort (scene.py:finalize) clusters primitives
+    (e.g. final: 1006 spheres | 2401 rects grouped by axis | 2 media), so
+    runs are maximal and single-type by construction.
 
     Only *structural* properties are inspected — integer type tags and the
     rotation/translation fields, none of which are trainable parameters —
     so a specialisation computed at trace time stays valid for every value
     of the differentiable scene parameters.
 
-    Returns [(start, width, types, motion, xform, rect_axis)] covering
-    [0, n_prims); ``rect_axis`` is the static plane tag for axis-pure rect
-    tiles, else None.
+    Returns [(start, end, types, motion, xform, rect_axis)];
+    ``rect_axis`` is the static plane tag for axis-pure rect runs, else
+    None.
     """
     pt = np.asarray(host_geom.ptype)[:n_prims]
     rot = np.asarray(host_geom.rot)[:n_prims]
@@ -88,23 +86,48 @@ def _tile_plan(host_geom, n_prims: int, max_tile: int):
     moving = (pt == PT_SPHERE) & np.any(p0 != p1, axis=-1)
 
     # Run boundaries on (type, xform, plane axis) — motion interleaves
-    # randomly in the grid scenes, so it stays a per-tile "any" flag rather
-    # than a key.  The builder emits this exact sort order
-    # (scene.py:finalize), so runs are maximal.
+    # randomly in the grid scenes, so it stays a per-run "any" flag rather
+    # than a key.
     axis = np.asarray(host_geom.axis)[:n_prims]
     key = (pt.astype(np.int64) * 8 + has_xf * 4
            + np.where(pt == PT_RECT, axis, 0))
     bounds = [0] + (np.flatnonzero(key[1:] != key[:-1]) + 1).tolist() \
         + [n_prims]
-    plan = []
+    runs = []
     for a, b in zip(bounds[:-1], bounds[1:]):
+        sl = slice(a, b)
+        types = frozenset(int(v) for v in np.unique(pt[sl])) - {PT_NONE}
+        rect_axis = None
+        if types == {PT_RECT} and np.unique(axis[sl]).size == 1:
+            rect_axis = int(axis[sl][0])
+        runs.append((a, b, types, bool(moving[sl].any()),
+                     bool(has_xf[sl].any()), rect_axis))
+    return runs
+
+
+def _tile_plan(host_geom, n_prims: int, max_tile: int):
+    """Chunk the maximal type runs to ``max_tile`` for the unrolled sweep.
+
+    Each tile compiles only one type's (and for rects one axis's)
+    intersection math, and run-exact widths replace padding.
+
+    Returns [(start, width, types, motion, xform, rect_axis)] covering
+    [0, n_prims).
+    """
+    pt = np.asarray(host_geom.ptype)[:n_prims]
+    plan = []
+    for a, b, types, _, _, rect_axis in type_runs(host_geom, n_prims):
+        rot = np.asarray(host_geom.rot)[a:b]
+        trans = np.asarray(host_geom.trans)[a:b]
+        p0 = np.asarray(host_geom.p0)[a:b]
+        p1 = np.asarray(host_geom.p1)[a:b]
+        eye = np.eye(3, dtype=rot.dtype)
+        has_xf = (np.any(rot != eye, axis=(1, 2))
+                  | np.any(trans != 0, axis=1))
+        moving = (pt[a:b] == PT_SPHERE) & np.any(p0 != p1, axis=-1)
         for s in range(a, b, max_tile):
             w = min(max_tile, b - s)
-            sl = slice(s, s + w)
-            types = frozenset(int(v) for v in np.unique(pt[sl])) - {PT_NONE}
-            rect_axis = None
-            if types == {PT_RECT} and np.unique(axis[sl]).size == 1:
-                rect_axis = int(axis[sl][0])
+            sl = slice(s - a, s - a + w)
             plan.append((
                 s, w, types,
                 bool(moving[sl].any()),

@@ -27,7 +27,7 @@ array (geometry, material, and texture parameters).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +50,9 @@ T_MIN = np.float32(1.0e-3)  # application.rs:482
 
 # Bump when a change alters rendered output for a fixed seed (checkpoint
 # accumulators from other versions must not be resumed — see render_image).
-RENDER_FORMAT_VERSION = 2
+# v3: cluster-culled intersector became the default for big scenes (its
+# fold order and fusion can flip decision-boundary lanes vs the sweep).
+RENDER_FORMAT_VERSION = 3
 
 # Gradient sky (BASELINE configs 1-2; the book's sky, not in the reference,
 # which uses a flat per-scene background color, application.rs:482-484).
@@ -67,6 +69,50 @@ _SKY_BLUE = np.float32([0.5, 0.7, 1.0])
 AUTO_BVH_MIN_PRIMS = 100_000
 
 
+def resolve_intersector(scene: Scene, use_bvh) -> str:
+    """Map a RenderSettings.use_bvh value to an intersector mode.
+
+    ``use_bvh`` accepts the historical booleans and explicit mode strings:
+      None       auto: 'bvh' above AUTO_BVH_MIN_PRIMS, else 'cluster' when
+                 the scene has a type run big enough to cull, else 'sweep'
+      False      auto non-BVH ('cluster' when eligible, else 'sweep')
+      True       'bvh'
+      'sweep' | 'cluster' | 'bvh'   forced
+    """
+    if isinstance(use_bvh, str):
+        if use_bvh not in ("sweep", "cluster", "bvh"):
+            raise ValueError(f"unknown intersector {use_bvh!r}")
+        return use_bvh
+    if use_bvh is True:
+        return "bvh"
+    if use_bvh is None and scene.static.n_prims >= AUTO_BVH_MIN_PRIMS:
+        return "bvh"
+    from .models.clusters import cluster_eligible
+
+    return ("cluster"
+            if cluster_eligible(scene.arrays.geom, scene.static.n_prims)
+            else "sweep")
+
+
+def block_order(width: int, height: int, block_w: int = 64,
+                block_h: int = 32) -> np.ndarray:
+    """Pixel launch permutation: image blocks -> coherent ray tiles.
+
+    ``perm[lane] = pixel_id``; lanes walk 64x32 image blocks so each
+    RAY_TILE-lane window of the wavefront is a compact pixel block whose
+    camera rays form a narrow frustum — that coherence is what makes the
+    cluster intersector's per-tile culling effective.  Pure relabeling:
+    every ray's RNG stream is keyed by pixel id, so images are bit-identical
+    to row-major launch order.
+    """
+    x = np.arange(width)
+    y = np.arange(height)
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    pid = (yy * width + xx).ravel()
+    key = ((yy // block_h) * (-(-width // block_w)) + (xx // block_w)).ravel()
+    return pid[np.argsort(key, kind="stable")].astype(np.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderSettings:
     width: int
@@ -75,7 +121,11 @@ class RenderSettings:
     depth: int
     seed: int = 0
     spp_chunk: Optional[int] = None  # samples per device pass
-    use_bvh: Optional[bool] = None  # None = auto by scene size
+    # Intersector choice: None = auto (cluster culling for big scenes,
+    # plain sweep otherwise, BVH above AUTO_BVH_MIN_PRIMS); also accepts
+    # True/False and the mode strings 'sweep' | 'cluster' | 'bvh'
+    # (see resolve_intersector).
+    use_bvh: Union[None, bool, str] = None
     leaf_size: int = 4
     # Resumable rendering (SURVEY.md §5): persist the radiance accumulator
     # after every chunk; a resumed render is bit-identical to an
@@ -113,7 +163,8 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
 
     Returns f(arrays, bvh, basis, pixel_ids, sample_ids, seed) -> [N,3]
     radiance (pre-gamma, pre-averaging).  ``arrays.geom`` must already be in
-    BVH leaf order when ``use_bvh``.
+    the order the resolved intersector expects (BVH leaf order / padded
+    cluster order) — i.e. pass ``prepare_scene``'s arrays and mode.
 
     ``remat=True`` rematerialises each bounce in the backward pass
     (jax.checkpoint over the scan body): deep differentiable renders
@@ -127,11 +178,26 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     """
     static = scene.static
     background = scene.background
-    # Scan path: primitives keep the scene build order, so the host-side
-    # arrays drive per-tile type specialisation of the dense sweep.
-    trace = make_intersector(
-        static, use_bvh=use_bvh, leaf_size=leaf_size,
-        host_geom=None if use_bvh else scene.arrays.geom)
+    mode = resolve_intersector(scene, use_bvh)
+    if mode == "cluster":
+        from .models.clusters import build_clusters
+        from .ops.cluster_sweep import make_cluster_intersector
+
+        # Same deterministic layout prepare_scene computed when it emitted
+        # the runtime arrays (the padded geometry itself is discarded here;
+        # only the layout metadata drives tracing).
+        _, layout = build_clusters(scene.arrays.geom, static.n_prims)
+        cluster_trace = make_cluster_intersector(static, layout)
+
+        def trace(geom, bvh, o, d, time, t_min, ray_bits, active):
+            return cluster_trace(geom, o, d, time, t_min, ray_bits, active)
+
+    else:
+        # Scan path: primitives keep the scene build order, so the
+        # host-side arrays drive per-tile type specialisation of the sweep.
+        trace = make_intersector(
+            static, use_bvh=(mode == "bvh"), leaf_size=leaf_size,
+            host_geom=scene.arrays.geom if mode == "sweep" else None)
     prim_hit_t = make_prim_intersector(static)
     detail_fn = make_hit_detailer(static)
     w_minus_1 = np.float32(width - 1)
@@ -257,29 +323,36 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     return ray_color
 
 
-def prepare_scene(scene: Scene, use_bvh: Optional[bool] = None,
-                  leaf_size: int = 4):
-    """Resolve the BVH decision and produce device-ready arrays.
+def prepare_scene(scene: Scene, use_bvh=None, leaf_size: int = 4):
+    """Resolve the intersector mode and produce device-ready arrays.
 
-    Returns (arrays, bvh_arrays_or_dummy, use_bvh).
+    Returns (arrays, bvh_arrays_or_dummy, mode).  ``mode`` is the resolved
+    intersector string ('sweep' | 'cluster' | 'bvh'); pass it back into the
+    renderer factories' ``use_bvh`` argument so geometry order and tracing
+    strategy stay paired (cluster and BVH modes reorder primitives).
     """
-    if use_bvh is None:
-        use_bvh = scene.static.n_prims >= AUTO_BVH_MIN_PRIMS
+    mode = resolve_intersector(scene, use_bvh)
     arrays = scene.arrays
-    if use_bvh:
+    if mode == "bvh":
         bvh, geom = build_bvh(arrays.geom, leaf_size=leaf_size)
         arrays = arrays._replace(geom=geom)
-    else:
-        from .models.bvh_build import BVHArrays
+        return arrays, bvh, mode
 
-        bvh = BVHArrays(
-            bounds_min=np.zeros((1, 3), np.float32),
-            bounds_max=np.zeros((1, 3), np.float32),
-            leaf_first=np.zeros(1, np.int32),
-            leaf_count=np.zeros(1, np.int32),
-            skip=np.ones(1, np.int32),
-        )
-    return arrays, bvh, use_bvh
+    from .models.bvh_build import BVHArrays
+
+    bvh = BVHArrays(
+        bounds_min=np.zeros((1, 3), np.float32),
+        bounds_max=np.zeros((1, 3), np.float32),
+        leaf_first=np.zeros(1, np.int32),
+        leaf_count=np.zeros(1, np.int32),
+        skip=np.ones(1, np.int32),
+    )
+    if mode == "cluster":
+        from .models.clusters import build_clusters
+
+        geom, _ = build_clusters(arrays.geom, scene.static.n_prims)
+        arrays = arrays._replace(geom=geom)
+    return arrays, bvh, mode
 
 
 def _gamma_image(acc: np.ndarray, samples: int, W: int, H: int) -> np.ndarray:
@@ -418,6 +491,12 @@ def render_image(scene: Scene, settings: RenderSettings,
     spp_chunk = settings.spp_chunk or _auto_spp_chunk(
         W, H, settings.samples, budget_depth)
 
+    # Launch camera rays in image-block order so every RAY_TILE-lane window
+    # is a coherent pixel block (block_order docstring); ``inv`` restores
+    # pixel-id order on the way out.  Bit-identical either way (per-ray RNG).
+    perm = block_order(W, H)
+    inv = np.argsort(perm).astype(np.int32)
+
     if compaction:
         run_compacted = make_compacting_renderer(
             scene, W, H, settings.depth, use_bvh, settings.leaf_size)
@@ -425,29 +504,30 @@ def render_image(scene: Scene, settings: RenderSettings,
         arrays_dev, bvh_dev = jax.device_put((arrays, bvh))
 
         def render_chunk(arrays_, bvh_, basis_, sample0, n_samples, seed):
-            pix = np.tile(np.arange(W * H, dtype=np.int32), n_samples)
+            pix = np.tile(perm, n_samples)
             sam = np.repeat(
                 int(sample0) + np.arange(n_samples, dtype=np.int32), W * H)
             rad = run_compacted(arrays_dev, bvh_dev, basis_dev, pix, sam,
                                 seed)
-            return rad.reshape(n_samples, W * H, 3).sum(0)
+            return rad.reshape(n_samples, W * H, 3).sum(0)[inv]
 
     else:
         ray_color = make_ray_colorer(
             scene, W, H, settings.depth, use_bvh, settings.leaf_size,
             differentiable=False,
         )
+        perm_j = jnp.asarray(perm)
+        inv_j = jnp.asarray(inv)
 
         def _render_chunk(arrays, bvh, basis, sample0, n_samples_static,
                           seed):
-            pix = jnp.arange(W * H, dtype=jnp.int32)
-            pixel_ids = jnp.tile(pix, n_samples_static)
+            pixel_ids = jnp.tile(perm_j, n_samples_static)
             sample_ids = jnp.repeat(
                 sample0 + jnp.arange(n_samples_static, dtype=jnp.int32),
                 W * H
             )
             rad = ray_color(arrays, bvh, basis, pixel_ids, sample_ids, seed)
-            return rad.reshape(n_samples_static, W * H, 3).sum(0)
+            return rad.reshape(n_samples_static, W * H, 3).sum(0)[inv_j]
 
         render_chunk = jax.jit(_render_chunk, static_argnums=(4,))
 

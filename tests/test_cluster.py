@@ -1,0 +1,140 @@
+"""Cluster-culled intersector: layout invariants + equality with the sweep.
+
+The cluster path (models/clusters.py + ops/cluster_sweep.py) must be an
+exact pruning: every (ray, primitive) pair it skips is provably a miss
+(outside every overlapped cluster's AABB or beyond the early-termination
+bound), so rendered images match the dense sweep's bit for bit up to
+exact-t tie-breaks (none in the reference scenes' images).
+"""
+
+import numpy as np
+import pytest
+
+from hyper_ray_tracer_tpu import build_scene
+from hyper_ray_tracer_tpu.models.clusters import (
+    CLUSTER_MIN_RUN,
+    build_clusters,
+    cluster_eligible,
+)
+from hyper_ray_tracer_tpu.render import (
+    RenderSettings,
+    block_order,
+    render_image,
+    resolve_intersector,
+)
+
+
+def test_layout_invariants_final():
+    scene = build_scene("final")
+    n = scene.static.n_prims
+    geom, lay = build_clusters(scene.arrays.geom, n)
+
+    # Every real primitive appears exactly once.
+    real = lay.src[lay.src >= 0]
+    assert np.array_equal(np.sort(real), np.arange(n))
+    assert geom.ptype.shape[0] == lay.n_slots
+
+    covered = np.zeros(lay.n_slots, bool)
+    for r in lay.runs:
+        assert r.width % 8 == 0
+        assert len(r.types) == 1  # type-pure -> fully specialised sweep
+        span = slice(r.base, r.base + r.n_clusters * r.width)
+        covered[span] = True
+        # Cluster AABBs bound their real members.
+        src = lay.src[span].reshape(r.n_clusters, r.width)
+        amin = np.asarray(scene.arrays.geom.aabb_min)
+        amax = np.asarray(scene.arrays.geom.aabb_max)
+        for c in range(r.n_clusters):
+            members = src[c][src[c] >= 0]
+            assert members.size > 0
+            assert (amin[members] >= r.cmin[c] - 1e-4).all()
+            assert (amax[members] <= r.cmax[c] + 1e-4).all()
+    for s, w, *_ in lay.tail:
+        covered[s:s + w] = True
+    assert covered.all()
+
+    # Pad slots are NaN-poisoned so they can never hit.
+    pads = lay.src < 0
+    if pads.any():
+        assert np.isnan(geom.p0[pads]).all()
+        assert np.isnan(geom.radius[pads]).all()
+
+
+def test_eligibility():
+    assert cluster_eligible(build_scene("final").arrays.geom,
+                            build_scene("final").static.n_prims)
+    cornell = build_scene("cornell")
+    assert cornell.static.n_prims < CLUSTER_MIN_RUN
+    assert not cluster_eligible(cornell.arrays.geom, cornell.static.n_prims)
+    assert resolve_intersector(cornell, None) == "sweep"
+    assert resolve_intersector(build_scene("final"), None) == "cluster"
+    assert resolve_intersector(build_scene("final"), True) == "bvh"
+
+
+@pytest.mark.parametrize("name,s", [
+    ("random", dict(width=24, height=14, samples=2, depth=6)),
+    ("final", dict(width=20, height=12, samples=1, depth=6)),
+])
+def test_cluster_equals_sweep(name, s):
+    scene = build_scene(name)
+    img_sweep = render_image(scene, RenderSettings(**s, use_bvh="sweep"))
+    img_clus = render_image(scene, RenderSettings(**s, use_bvh="cluster"))
+    # Same math modulo fold order; XLA may fuse differently, so allclose
+    # rather than bitwise (observed bit-identical on CPU).
+    np.testing.assert_allclose(img_clus, img_sweep, atol=1e-5, rtol=0)
+
+
+def test_cluster_forced_on_small_scene():
+    """Forcing cluster mode on an all-tail scene degenerates to the sweep
+    (no runs) and must still render correctly."""
+    scene = build_scene("cornell")
+    s = dict(width=20, height=12, samples=1, depth=4)
+    img_sweep = render_image(scene, RenderSettings(**s, use_bvh="sweep"))
+    img_clus = render_image(scene, RenderSettings(**s, use_bvh="cluster"))
+    np.testing.assert_allclose(img_clus, img_sweep, atol=1e-5, rtol=0)
+
+
+def test_block_order_is_permutation():
+    for w, h in ((400, 225), (24, 14), (64, 32), (65, 33)):
+        perm = block_order(w, h)
+        assert np.array_equal(np.sort(perm), np.arange(w * h))
+
+
+def test_cluster_gradients_flow():
+    """jax.grad works through the cluster intersector (traversal is a
+    stop-gradient discrete search; the winner's t is recomputed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.render import make_ray_colorer, prepare_scene
+    from hyper_ray_tracer_tpu.train import extract_params, merge_params
+
+    scene = build_scene("random")
+    W, H, depth = 16, 10, 3
+    arrays, bvh, mode = prepare_scene(scene, "cluster")
+    assert mode == "cluster"
+    ray_color = make_ray_colorer(scene, W, H, depth, mode)
+    basis = make_basis(scene.camera, W, H)
+    pix = np.arange(W * H, dtype=np.int32)
+    sam = np.zeros(W * H, np.int32)
+    arrays = jax.device_put(arrays)
+
+    def loss(p):
+        a = merge_params(arrays, p)
+        rad = ray_color(a, bvh, basis, pix, sam, np.uint32(0))
+        return (rad ** 2).mean()
+
+    g = jax.grad(loss)(extract_params(arrays))
+    g = merge_params(arrays, g)
+    gm = jnp.abs(g.geom.p0).sum() + jnp.abs(g.materials.albedo).sum()
+    assert np.isfinite(float(gm))
+    assert float(gm) > 0.0
+    # NaN-poisoned pad slots are never the winner, so they must receive
+    # exactly zero gradient; real slots must stay NaN-free.
+    _, lay = build_clusters(scene.arrays.geom, scene.static.n_prims)
+    pads = lay.src < 0
+    assert pads.any()
+    gp0 = np.asarray(g.geom.p0)
+    assert np.all(gp0[pads] == 0.0)
+    assert not np.isnan(gp0[~pads]).any()
