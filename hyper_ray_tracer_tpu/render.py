@@ -50,8 +50,8 @@ T_MIN = np.float32(1.0e-3)  # application.rs:482
 
 # Bump when a change alters rendered output for a fixed seed (checkpoint
 # accumulators from other versions must not be resumed — see render_image).
-# v3: cluster-culled intersector became the default for big scenes (its
-# fold order and fusion can flip decision-boundary lanes vs the sweep).
+# v3: the cluster-culled intersector entered the mode set (its fold order
+# and fusion can flip decision-boundary lanes vs the sweep).
 RENDER_FORMAT_VERSION = 3
 
 # Gradient sky (BASELINE configs 1-2; the book's sky, not in the reference,
@@ -73,11 +73,20 @@ def resolve_intersector(scene: Scene, use_bvh) -> str:
     """Map a RenderSettings.use_bvh value to an intersector mode.
 
     ``use_bvh`` accepts the historical booleans and explicit mode strings:
-      None       auto: 'bvh' above AUTO_BVH_MIN_PRIMS, else 'cluster' when
-                 the scene has a type run big enough to cull, else 'sweep'
-      False      auto non-BVH ('cluster' when eligible, else 'sweep')
+      None       auto: 'bvh' above AUTO_BVH_MIN_PRIMS, else 'sweep'
+      False      auto non-BVH ('sweep')
       True       'bvh'
       'sweep' | 'cluster' | 'bvh'   forced
+
+    The cluster-culled intersector is opt-in ('cluster'), not the auto
+    default: measured on TPU v5e (final scene, depth 10 compacted render),
+    cluster-everywhere is 1.6x SLOWER end-to-end than the sweep (0.49 vs
+    0.80 Mrays/s camera).  Tile-level culling needs ray coherence, which
+    only camera rays have — after one diffuse bounce a 2048-lane tile
+    overlaps essentially every cluster (measured 7-8/8 even re-sorted), so
+    secondary bounces pay full pair work plus the culling machinery.  The
+    renderer applies cluster culling selectively to the primary bounce
+    instead (see make_ray_colorer).
     """
     if isinstance(use_bvh, str):
         if use_bvh not in ("sweep", "cluster", "bvh"):
@@ -87,11 +96,7 @@ def resolve_intersector(scene: Scene, use_bvh) -> str:
         return "bvh"
     if use_bvh is None and scene.static.n_prims >= AUTO_BVH_MIN_PRIMS:
         return "bvh"
-    from .models.clusters import cluster_eligible
-
-    return ("cluster"
-            if cluster_eligible(scene.arrays.geom, scene.static.n_prims)
-            else "sweep")
+    return "sweep"
 
 
 def block_order(width: int, height: int, block_w: int = 64,
