@@ -71,6 +71,58 @@ def gather_prim(geom, idx) -> PrimFields:
     )
 
 
+def pack_prim(geom, xp):
+    """Pack the per-prim fields into two row matrices for winner gathers.
+
+    Measured on TPU v5e at 1.44M rays: a per-field gather costs ~9 ns/elem
+    (25 scalar fields -> ~240 ms/bounce) while ONE [N, K] row gather costs
+    about the same as a single scalar gather (~2 ms).  The per-bounce
+    winner access therefore packs the 22 float and 4 int per-prim fields
+    into [P, 22] f32 + [P, 4] i32 and gathers each once per bounce.
+
+    Packing is a concat over [P]-sized arrays (trivial next to the ray
+    work) and is linear, so gradients flow through to every geometry field
+    exactly as with per-field gathers.
+    """
+    f = xp.concatenate(
+        [
+            geom.p0,
+            geom.p1,
+            geom.radius[:, None],
+            geom.time0[:, None],
+            geom.time1[:, None],
+            geom.neg_inv_density[:, None],
+            geom.rot.reshape(-1, 9),
+            geom.trans,
+        ],
+        axis=-1,
+    )
+    i = xp.stack(
+        [geom.ptype, geom.stable_id, geom.material, geom.axis], axis=-1
+    )
+    return f, i
+
+
+def gather_prim_packed(fpack, ipack, idx):
+    """Row-gather packed prim fields; returns (PrimFields, material_idx)."""
+    g = fpack[idx]
+    gi = ipack[idx]
+    pf = PrimFields(
+        ptype=gi[..., 0],
+        stable_id=gi[..., 1],
+        p0=g[..., 0:3],
+        p1=g[..., 3:6],
+        radius=g[..., 6],
+        axis=gi[..., 3],
+        time0=g[..., 7],
+        time1=g[..., 8],
+        neg_inv_density=g[..., 9],
+        rot=g[..., 10:19].reshape(*g.shape[:-1], 3, 3),
+        trans=g[..., 19:22],
+    )
+    return pf, gi[..., 2]
+
+
 def _dot(a, b):
     return (a * b).sum(-1)
 

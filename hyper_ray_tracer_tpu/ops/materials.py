@@ -52,8 +52,16 @@ def shade(arrays, mat_idx, hit, d, bb, static, xp) -> ScatterResult:
     bb: [B] uint32 per-(pixel,sample,bounce) RNG base hashes.
     """
     mats = arrays.materials
-    mtype = mats.mtype[mat_idx]
-    tex_idx = mats.texture[mat_idx]
+    # Packed row gathers (see intersect.pack_prim): 2 gathers instead of 7.
+    mi = xp.stack([mats.mtype, mats.texture], axis=-1)[mat_idx]
+    mf = xp.concatenate(
+        [mats.fuzz[:, None], mats.ior[:, None], mats.albedo], axis=-1
+    )[mat_idx]
+    mtype = mi[..., 0]
+    tex_idx = mi[..., 1]
+    fuzz = mf[..., 0]
+    ior_all = mf[..., 1]
+    albedo = mf[..., 2:5]
 
     tex_color = texture_value(
         arrays.textures, arrays.images, arrays.image_wh, arrays.perlin,
@@ -90,16 +98,16 @@ def shade(arrays, mat_idx, hit, d, bb, static, xp) -> ScatterResult:
 
     if MT_METAL in present:
         reflected = m.reflect(m.normalize(d, xp), normal)
-        sdir = reflected + mats.fuzz[mat_idx][..., None] * in_sphere
+        sdir = reflected + fuzz[..., None] * in_sphere
         ok = (sdir * normal).sum(-1) > 0.0  # metal.rs:37-41 absorption
         sel_m = mtype == MT_METAL
         sel = sel_m[..., None]
         direction = xp.where(sel, sdir, direction)
-        attenuation = xp.where(sel, mats.albedo[mat_idx], attenuation)
+        attenuation = xp.where(sel, albedo, attenuation)
         did_scatter = xp.where(sel_m, ok, did_scatter)
 
     if MT_DIELECTRIC in present:
-        ior = mats.ior[mat_idx]
+        ior = ior_all
         ratio = xp.where(hit.front_face, 1.0 / ior, ior)
         unit_d = m.normalize(d, xp)
         cos_theta = xp.minimum((-unit_d * normal).sum(-1), 1.0)

@@ -29,9 +29,14 @@ def texture_value(textures, images, image_wh, perlin_tables, tex_idx,
 
     tex_idx: [B] int32; u, v: [B]; point: [B,3].  Returns [B,3] float32.
     """
-    ttype = textures.ttype[tex_idx]
-    c1 = textures.color1[tex_idx]
-    c2 = textures.color2[tex_idx]
+    # Packed row gathers (see intersect.pack_prim): 2 gathers instead of 9.
+    ti = xp.stack([textures.ttype, textures.image_id], axis=-1)[tex_idx]
+    tf = xp.concatenate(
+        [textures.color1, textures.color2, textures.scale[:, None]], axis=-1
+    )[tex_idx]
+    ttype = ti[..., 0]
+    c1 = tf[..., 0:3]
+    c2 = tf[..., 3:6]
 
     value = c1  # TT_SOLID default; c1 is also the checker 'odd' color
 
@@ -45,7 +50,7 @@ def texture_value(textures, images, image_wh, perlin_tables, tex_idx,
         value = xp.where((ttype == TT_CHECKER)[..., None], checker, value)
 
     if static.has_noise_tex:
-        scale = textures.scale[tex_idx]
+        scale = tf[..., 6]
         sp = scale[..., None] * point
         turb = perlin.turbulence(perlin_tables, sp, xp)
         marble = 0.5 * (1.0 + xp.sin(sp[..., 2] + 10.0 * turb))
@@ -53,7 +58,7 @@ def texture_value(textures, images, image_wh, perlin_tables, tex_idx,
         value = xp.where((ttype == TT_NOISE)[..., None], noise_col, value)
 
     if static.has_image_tex:
-        img_id = textures.image_id[tex_idx]
+        img_id = ti[..., 1]
         wh = image_wh[img_id]  # [B,2] (width, height)
         w = wh[..., 0].astype(np.float32)
         h = wh[..., 1].astype(np.float32)
