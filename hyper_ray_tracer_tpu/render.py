@@ -419,40 +419,54 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         accumulator (slots are unique except dead padding, which is zero)."""
         return acc.at[slots].add(state.radiance)
 
-    def _compact(state, slots, bucket):
-        """Pack alive lanes first (stable) and keep the first ``bucket``.
-        The host guarantees bucket >= alive count, so only dead lanes are
-        dropped.  Only the live fields are gathered: post-pack ``alive`` is
-        just iota < count, and ``radiance`` was flushed, so both are
-        recomputed instead of moved (compaction is gather-bound).
+    def _compact(state, slots, acc, bucket):
+        """Pack alive lanes first (stable), keep the first ``bucket``, and
+        flush the radiance of the DROPPED tail into ``acc``.
+
+        Radiance rides the compaction row gather (3 extra columns), so a
+        lane's radiance is scattered into the accumulator exactly once —
+        when the lane is dropped (or at the final flush).  Scatter-add is
+        the expensive primitive on this device (~90 ns/row measured); the
+        previous flush-everything-then-compact scheme scattered 2.5x the
+        rows per pass.  Per-ray accumulation order is unchanged (each
+        lane's radiance accumulates in bounce order and lands in its own
+        unique slot), so images stay bit-identical to the fixed scan.
 
         The stable partition is a cumsum + one int32 scatter, not an
-        argsort: measured on TPU v5e the bool argsort alone cost ~70 ms at
-        1.44M lanes (half the milestone budget); the scatter form is ~10x
-        cheaper and produces the identical permutation."""
+        argsort (the scatter form measured ~10x cheaper at 1.44M lanes and
+        produces the identical permutation)."""
         n = state.alive.shape[0]
         alive_pos = jnp.cumsum(state.alive) - 1
         dead_pos = (alive_pos[-1] + 1) + jnp.cumsum(~state.alive) - 1
         dest = jnp.where(state.alive, alive_pos, dead_pos).astype(jnp.int32)
-        idx = (
+        idx_full = (
             jnp.zeros(n, jnp.int32)
             .at[dest]
-            .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:bucket]
+            .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
         )
+        idx = idx_full[:bucket]
+        idx_drop = idx_full[bucket:]
         n_alive = state.alive.sum()
         packed_alive = jnp.arange(bucket) < n_alive
+        # Fixed-schedule safety: True if live rays would be dropped.  The
+        # scheduled caller accumulates this on device and checks it once
+        # per pass; on overflow the pass is discarded and rerun with
+        # counted buckets, so scheduling can never change the image.
+        overflow = n_alive > bucket
         # Row gathers over packed live fields (12 scalar gathers cost
         # ~156 ms at 1.44M lanes; two row gathers ~20 ms — see
         # intersect.pack_prim).  base round-trips through a bitcast so the
         # int rows share one matrix with the slot ids.
         fpk = jnp.concatenate(
-            [state.o, state.d, state.time[:, None], state.throughput],
+            [state.o, state.d, state.time[:, None], state.throughput,
+             state.radiance],
             axis=-1,
         )[idx]
         ipk = jnp.stack(
             [jax.lax.bitcast_convert_type(state.base, jnp.int32), slots],
             axis=-1,
         )[idx]
+        acc = acc.at[slots[idx_drop]].add(state.radiance[idx_drop])
         g = WavefrontState(
             o=fpk[:, 0:3],
             d=fpk[:, 3:6],
@@ -460,12 +474,12 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
             base=jax.lax.bitcast_convert_type(ipk[:, 0], jnp.uint32),
             alive=packed_alive,
             throughput=fpk[:, 7:10],
-            radiance=jnp.zeros((bucket, 3), state.radiance.dtype),
+            radiance=fpk[:, 10:13],
         )
-        return g, ipk[:, 1]
+        return g, ipk[:, 1], acc, overflow
 
     flush_jit = jax.jit(_flush)
-    compact_jit = jax.jit(_compact, static_argnums=(2,))
+    compact_jit = jax.jit(_compact, static_argnums=(3,))
     count_jit = jax.jit(lambda alive: alive.sum(dtype=jnp.int32))
     reduce_jit = jax.jit(
         lambda acc, spp: acc.reshape(spp, -1, 3).sum(0), static_argnums=(1,))
@@ -483,8 +497,79 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         static_argnums=(3,),
     )
 
+    def _segments(n0):
+        milestones = [m for m in _COMPACT_MILESTONES if m < depth]
+        bounds = [0] + milestones + [depth]
+        return list(zip(bounds[:-1], bounds[1:]))
+
+    # Bucket schedule cache: n0 -> [bucket-or-None per milestone].
+    # Recorded by the first (counted) pass with head-room; scheduled
+    # passes then run the whole bounce chain with ZERO host syncs — each
+    # count readback costs a ~26 ms round trip AND idles the device
+    # (~10% of a depth-10 pass), and a sync-free chain is what the
+    # sharded renderer needs (identical static shapes on every device).
+    schedules: dict = {}
+
+    def _pick_bucket(n_alive, cur, quantum):
+        """Smallest bucket covering ``n_alive`` with >= ~4% head-room.
+
+        Alive counts concentrate hard at wavefront sizes (relative std
+        ~1/sqrt(N * p)), so a few percent above the recorded count makes
+        schedule overflow vanishingly rare — and overflow is *detected*,
+        never silent.  Quantum rounding usually provides the head-room for
+        free; only a bucket landing within 4% of the count is bumped
+        (a blanket multiplicative margin measured ~60 ms/pass when it
+        pushed a bucket across a quantum boundary)."""
+        b = _next_bucket(n_alive, cur, quantum)
+        if b < cur and b - n_alive < max(64, n_alive // 25):
+            b = min(b + quantum, cur)
+        return b
+
+    def _run_counted(arrays, bvh, state, acc, slots, n0):
+        """Dynamic path: reads alive counts (one sync per milestone),
+        compacts to measured buckets, records the schedule (or None if the
+        wavefront died early — then every pass stays counted)."""
+        quantum = _bucket_quantum(n0)
+        cur = n0
+        sched = []
+        complete = True
+        for b0, b1 in _segments(n0):
+            state = scan_jit(arrays, bvh, state, jnp.uint32(b0), b1 - b0)
+            if b1 >= depth:
+                break
+            n_alive = int(count_jit(state.alive))
+            if n_alive == 0:
+                complete = False
+                break
+            bucket = _pick_bucket(n_alive, cur, quantum)
+            if bucket < cur:
+                state, slots, acc, _ = compact_jit(state, slots, acc,
+                                                   bucket)
+                cur = bucket
+                sched.append(bucket)
+            else:
+                sched.append(None)
+        acc = flush_jit(acc, slots, state)
+        return acc, (sched if complete else None)
+
+    def _run_scheduled(arrays, bvh, state, acc, slots, sched):
+        """Sync-free path: every dispatch is enqueued back-to-back; the
+        device-side ``over`` flag records whether any milestone's alive
+        count exceeded its scheduled bucket."""
+        over = None
+        segs = _segments(acc.shape[0])
+        for i, (b0, b1) in enumerate(segs):
+            state = scan_jit(arrays, bvh, state, jnp.uint32(b0), b1 - b0)
+            bucket = sched[i] if i < len(sched) else None
+            if b1 < depth and bucket is not None:
+                state, slots, acc, o = compact_jit(state, slots, acc,
+                                                   bucket)
+                over = o if over is None else (over | o)
+        acc = flush_jit(acc, slots, state)
+        return acc, over
+
     def run(arrays, bvh, basis, perm, sample0, n_samples, seed,
-            reduce=True):
+            reduce=True, defer=False):
         """Launch ``n_samples`` sample-major camera passes over the pixel
         permutation ``perm``: slot = s * n_pix + j traces pixel
         ``perm[j]`` at sample index ``sample0 + s``.
@@ -492,35 +577,54 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         reduce=True sums samples per pixel ON DEVICE and returns
         [n_pix, 3] in perm order — the unreduced [N, 3] accumulator costs
         ~0.55 s to ship at 1.44M rays vs ~0.06 s reduced (the tunnel moves
-        ~30 MB/s); reduce=False returns the raw per-ray accumulator."""
+        ~30 MB/s); reduce=False returns the raw per-ray accumulator.
+
+        defer=True returns a zero-arg finisher instead of the array: all
+        device work is already enqueued, and calling the finisher
+        materialises the result — so a caller can dispatch pass k+1
+        before blocking on pass k (the spp-chunk pipeline in
+        render_image)."""
         perm = jnp.asarray(perm)
         n_pix = int(perm.shape[0])
-        n0 = n_pix * int(n_samples)
-        acc = jnp.zeros((n0, 3), jnp.float32)
-        slots = jnp.arange(n0, dtype=jnp.int32)
+        ns = int(n_samples)
+        n0 = n_pix * ns
+        acc0 = jnp.zeros((n0, 3), jnp.float32)
+        slots0 = jnp.arange(n0, dtype=jnp.int32)
+        state0 = id_init(basis, perm, jnp.int32(sample0), ns, seed)
 
-        state = id_init(basis, perm, jnp.int32(sample0), int(n_samples),
-                        seed)
-        quantum = _bucket_quantum(n0)
-        milestones = [m for m in _COMPACT_MILESTONES if m < depth]
-        bounds = [0] + milestones + [depth]
-        cur = n0
-        for b0, b1 in zip(bounds[:-1], bounds[1:]):
-            state = scan_jit(arrays, bvh, state, jnp.uint32(b0), b1 - b0)
-            if b1 >= depth:
-                break
-            n_alive = int(count_jit(state.alive))  # the only host sync
-            if n_alive == 0:
-                break
-            bucket = _next_bucket(n_alive, cur, quantum)
-            if bucket < cur:
-                acc = flush_jit(acc, slots, state)
-                state, slots = compact_jit(state, slots, bucket)
-                cur = bucket
-        acc = flush_jit(acc, slots, state)
-        if reduce:
-            return np.asarray(reduce_jit(acc, int(n_samples)))
-        return np.asarray(acc)
+        sched = schedules.get(n0)
+        if sched is not None:
+            acc, over = _run_scheduled(arrays, bvh, state0, acc0, slots0,
+                                       sched)
+            out = reduce_jit(acc, ns) if reduce else acc
+
+            def finish():
+                if over is None:
+                    return np.asarray(out)
+                out_np, over_np = jax.device_get((out, over))
+                if not bool(over_np):
+                    return out_np
+                # Survival shifted past the schedule's head-room (or the
+                # caller changed scene/seed drastically): discard, redo
+                # counted, re-record.
+                schedules.pop(n0, None)
+                acc2, sched2 = _run_counted(arrays, bvh, state0, acc0,
+                                            slots0, n0)
+                if sched2 is not None:
+                    schedules[n0] = sched2
+                return np.asarray(reduce_jit(acc2, ns) if reduce else acc2)
+
+        else:
+            acc, sched_rec = _run_counted(arrays, bvh, state0, acc0,
+                                          slots0, n0)
+            if sched_rec is not None:
+                schedules[n0] = sched_rec
+            out = reduce_jit(acc, ns) if reduce else acc
+
+            def finish():
+                return np.asarray(out)
+
+        return finish if defer else finish()
 
     return run
 
@@ -567,9 +671,9 @@ def render_image(scene: Scene, settings: RenderSettings,
         perm_dev = jax.device_put(jnp.asarray(perm))
 
         def render_chunk(arrays_, bvh_, basis_, sample0, n_samples, seed):
-            rad = run_compacted(arrays_dev, bvh_dev, basis_dev, perm_dev,
-                                int(sample0), n_samples, seed)
-            return rad[inv]
+            fin = run_compacted(arrays_dev, bvh_dev, basis_dev, perm_dev,
+                                int(sample0), n_samples, seed, defer=True)
+            return lambda: fin()[inv]
 
     else:
         ray_color = make_ray_colorer(
@@ -589,7 +693,11 @@ def render_image(scene: Scene, settings: RenderSettings,
             rad = ray_color(arrays, bvh, basis, pixel_ids, sample_ids, seed)
             return rad.reshape(n_samples_static, W * H, 3).sum(0)[inv_j]
 
-        render_chunk = jax.jit(_render_chunk, static_argnums=(4,))
+        chunk_jit = jax.jit(_render_chunk, static_argnums=(4,))
+
+        def render_chunk(arrays_, bvh_, basis_, sample0, n_samples, seed):
+            out = chunk_jit(arrays_, bvh_, basis_, sample0, n_samples, seed)
+            return lambda: np.asarray(out)
 
     # ``samples`` (the target) is intentionally NOT part of the identity:
     # a checkpoint at k spp resumes toward any target >= k — samples are
@@ -621,22 +729,39 @@ def render_image(scene: Scene, settings: RenderSettings,
     seed = np.uint32(settings.seed)
     t_start = _time.monotonic()
     rays_done = 0
-    while s < settings.samples:
-        ns = min(spp_chunk, settings.samples - s)
-        acc += np.asarray(
-            render_chunk(arrays, bvh, basis, np.int32(s), int(ns), seed)
-        )
-        s += ns
+
+    def _finish_chunk(fin, s_after, ns):
+        """Materialise one chunk and run the per-chunk bookkeeping."""
+        nonlocal acc, s, rays_done
+        acc += np.asarray(fin())
+        s = s_after
         rays_done += ns * W * H
         if settings.checkpoint_path:
             ckpt.save_state(settings.checkpoint_path, acc, s, meta)
         if settings.preview_path:
             from .utils.image import write_png
 
-            write_png(settings.preview_path,
-                      _gamma_image(acc, s, W, H))
+            write_png(settings.preview_path, _gamma_image(acc, s, W, H))
         if progress_cb is not None:
             progress_cb(s, settings.samples)
+
+    # Two-deep chunk pipeline: chunk k+1 is dispatched before blocking on
+    # chunk k, so the device never idles on the host's readback /
+    # checkpoint / preview work between chunks (the reference keeps its
+    # workers busy the same way via the tokio task queue,
+    # application.rs:393-475).
+    pending = None
+    s_next = s
+    while s_next < settings.samples:
+        ns = min(spp_chunk, settings.samples - s_next)
+        fin = render_chunk(arrays, bvh, basis, np.int32(s_next), int(ns),
+                           seed)
+        if pending is not None:
+            _finish_chunk(*pending)
+        pending = (fin, s_next + ns, ns)
+        s_next += ns
+    if pending is not None:
+        _finish_chunk(*pending)
 
     dt = _time.monotonic() - t_start
     if rays_done and dt > 0:

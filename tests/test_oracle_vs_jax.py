@@ -101,3 +101,71 @@ def test_compaction_bit_identical(monkeypatch):
     img_plain = render_image(scene, RenderSettings(**s, compaction=False))
     img_comp = render_image(scene, RenderSettings(**s, compaction=True))
     np.testing.assert_array_equal(img_plain, img_comp)
+
+
+def test_scheduled_compaction_matches_counted(monkeypatch):
+    """The sync-free scheduled pass (second call of a compacting runner)
+    must be bit-identical to the counted pass that recorded the schedule."""
+    import jax
+
+    from hyper_ray_tracer_tpu import render as R
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.render import (
+        block_order,
+        make_compacting_renderer,
+        prepare_scene,
+    )
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 64)
+    scene = build_scene("final")
+    W, H, SPP = 32, 18, 2
+    arrays, bvh, mode = prepare_scene(scene)
+    basis = make_basis(scene.camera, W, H)
+    run = make_compacting_renderer(scene, W, H, 10, mode)
+    perm = block_order(W, H)
+    a = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5))  # counted
+    b = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5))  # scheduled
+    np.testing.assert_array_equal(a, b)
+    # Deferred finisher returns the same result.
+    fin = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5), defer=True)
+    np.testing.assert_array_equal(a, fin())
+
+
+def test_schedule_overflow_falls_back(monkeypatch):
+    """A scheduled bucket too small for the live count must be detected on
+    device and redone with counted buckets — never silently dropped."""
+    from hyper_ray_tracer_tpu import render as R
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.render import (
+        block_order,
+        make_compacting_renderer,
+        prepare_scene,
+    )
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 64)
+    scene = build_scene("final")
+    W, H, SPP = 32, 18, 2
+    arrays, bvh, mode = prepare_scene(scene)
+    basis = make_basis(scene.camera, W, H)
+    run = make_compacting_renderer(scene, W, H, 10, mode)
+    perm = block_order(W, H)
+    a = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5))
+    # Sabotage the recorded schedule: shrink every bucket far below the
+    # real alive counts so every milestone overflows.
+    sched_cache = run.__closure__  # noqa: F841  (documentation only)
+    # Reach the cache through a fresh counted pass record instead:
+    # monkeypatch the module-level margin so a *new* runner under-records.
+    from hyper_ray_tracer_tpu.render import _bucket_quantum  # noqa: F401
+
+    n0 = W * H * SPP
+    # Find the schedules dict in the closure cells and corrupt it.
+    cells = [c.cell_contents for c in run.__closure__
+             if isinstance(c.cell_contents, dict)]
+    assert cells, "schedule cache not found in run closure"
+    sched = cells[0]
+    assert n0 in sched
+    sched[n0] = [64 for _ in sched[n0]]
+    b = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5))
+    np.testing.assert_array_equal(a, b)
+    # The corrupted schedule was evicted and re-recorded.
+    assert sched[n0] != [64 for _ in sched[n0]]
