@@ -29,7 +29,14 @@ import numpy as np
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..render import make_ray_colorer
+from ..render import (
+    _bucket_quantum,
+    _pick_bucket,
+    compact_wavefront,
+    flush_wavefront,
+    make_ray_colorer,
+    milestone_segments,
+)
 from .mesh import AXIS_RAYS, AXIS_SPP
 
 
@@ -104,13 +111,158 @@ def make_shardmap_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4,
     return jax.jit(render_block)
 
 
+def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
+                                     leaf_size=4):
+    """Dead-ray compaction inside ``shard_map``: the multi-chip version of
+    ``render.make_compacting_renderer``.
+
+    The single-chip compacting path is host-driven (it reads alive counts
+    to choose bucket shapes), which SPMD cannot do — shapes must be static
+    and identical on every device.  The fixed bucket schedule solves this:
+
+    1. The first call runs a PROBE pass — the plain fixed-depth sharded
+       wavefront (a valid, uncompacted render) that also emits the
+       per-milestone alive counts ``pmax``-ed over the mesh.  One readback.
+    2. The host turns the worst-device counts into a static local bucket
+       schedule (same ~4% head-room policy as the single-chip path).
+    3. Subsequent calls run the whole compacted chain in ONE jitted
+       shard_map program: per-device scan segments, per-device
+       cumsum-pack compaction to the scheduled buckets, drop-only
+       radiance flushes, and a psum of the per-pixel sums over the spp
+       axis.  A pmax-ed overflow flag is returned with the image; on
+       overflow (survival shifted past the head-room) the caller's next
+       pass re-probes — overflow is detected, never silent, so
+       scheduling cannot change the image.
+
+    Results are bit-identical to the uncompacted sharded renderer (every
+    ray's RNG stream is keyed by (pixel, sample); compaction only drops
+    dead lanes; each lane's radiance lands in its own slot before the
+    fixed-order sample reduction).
+
+    Matches the load-balancing role of the reference's tile scheduler
+    (`/root/reference/src/application.rs:393-475`), executed as static
+    SPMD instead of a work queue.
+    """
+    colorer = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
+                               differentiable=False)
+    segments = milestone_segments(depth)
+    n_milestones = sum(1 for _, b1 in segments if b1 < depth)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS_SPP, AXIS_RAYS),
+                  P(AXIS_SPP, AXIS_RAYS), P()),
+        out_specs=(P(AXIS_RAYS), P()),
+    )
+    def probe_block(arrays, bvh, basis, pixel_ids, sample_ids, seed):
+        s_loc, n_loc = pixel_ids.shape
+        state = colorer.init_state(basis, pixel_ids.reshape(-1),
+                                   sample_ids.reshape(-1), seed)
+        counts = []
+        for b0, b1 in segments:
+            state = colorer.bounce_scan(arrays, bvh, state, jnp.uint32(b0),
+                                        b1 - b0)
+            if b1 < depth:
+                counts.append(state.alive.sum(dtype=jnp.int32))
+        rad = state.radiance.reshape(s_loc, n_loc, 3).sum(0)
+        rad = jax.lax.psum(rad, AXIS_SPP)
+        cmax = jax.lax.pmax(jnp.stack(counts), (AXIS_SPP, AXIS_RAYS))
+        return rad, cmax
+
+    probe_jit = jax.jit(probe_block)
+
+    def _make_scheduled(sched):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(AXIS_SPP, AXIS_RAYS),
+                      P(AXIS_SPP, AXIS_RAYS), P()),
+            out_specs=(P(AXIS_RAYS), P()),
+        )
+        def sched_block(arrays, bvh, basis, pixel_ids, sample_ids, seed):
+            s_loc, n_loc = pixel_ids.shape
+            n0_loc = s_loc * n_loc
+            state = colorer.init_state(basis, pixel_ids.reshape(-1),
+                                       sample_ids.reshape(-1), seed)
+            acc = state.radiance * 0.0  # device-varying zeros [n0_loc, 3]
+            slots = jnp.arange(n0_loc, dtype=jnp.int32)
+            over = state.alive[0] & ~state.alive[0]  # device-varying False
+            for i, (b0, b1) in enumerate(segments):
+                state = colorer.bounce_scan(arrays, bvh, state,
+                                            jnp.uint32(b0), b1 - b0)
+                bucket = sched[i] if i < len(sched) else None
+                if b1 < depth and bucket is not None:
+                    state, slots, acc, o = compact_wavefront(
+                        state, slots, acc, bucket)
+                    over = over | o
+            acc = flush_wavefront(acc, slots, state)
+            rad = acc.reshape(s_loc, n_loc, 3).sum(0)
+            rad = jax.lax.psum(rad, AXIS_SPP)
+            over = jax.lax.pmax(over.astype(jnp.int32),
+                                (AXIS_SPP, AXIS_RAYS))
+            return rad, over
+
+        return jax.jit(sched_block)
+
+    n_dev = int(np.prod([mesh.shape[a] for a in (AXIS_RAYS, AXIS_SPP)]))
+    cache = {}  # ids shape -> (sched tuple, compiled scheduled block)
+
+    def run(arrays, bvh, basis, pixel_ids, sample_ids, seed):
+        """ids: [S, n_pix] global sample-major launch (divisible by the
+        mesh axes).  Returns np [n_pix, 3] radiance summed over S."""
+        key = tuple(pixel_ids.shape)
+        n0_loc = (pixel_ids.shape[0] * pixel_ids.shape[1]) // n_dev
+        entry = cache.get(key)
+        if entry is not None:
+            sched, block = entry
+            rad, over = block(arrays, bvh, basis, pixel_ids, sample_ids,
+                              seed)
+            rad = np.asarray(rad)
+            if not int(np.asarray(over)):
+                return rad
+            cache.pop(key, None)  # stale schedule: re-probe below
+
+        rad, cmax = probe_jit(arrays, bvh, basis, pixel_ids, sample_ids,
+                              seed)
+        counts = [int(c) for c in np.asarray(cmax)]
+        quantum = _bucket_quantum(n0_loc)
+        sched, cur = [], n0_loc
+        for c in counts:
+            b = _pick_bucket(max(c, 1), cur, quantum)
+            sched.append(b if b < cur else None)
+            cur = min(b, cur)
+        cache[key] = (tuple(sched), _make_scheduled(tuple(sched)))
+        return np.asarray(rad)
+
+    return run
+
+
 def gather_image(radiance_sum, samples: int, W: int, H: int) -> np.ndarray:
     """Device-sharded radiance sum -> host image (gamma, top-down rows).
 
-    Under multi-host, fully-addressable output is fetched per-process;
-    `jax.experimental.multihost_utils.process_allgather` would be used for
-    cross-host assembly (single-host here: plain device_get).
+    Under multi-host each process addresses only its local shards, so the
+    full accumulator is assembled with
+    `multihost_utils.process_allgather` (an all-gather over DCN/ICI that
+    leaves every host with the complete [W*H, 3] sum — the cross-process
+    equivalent of the reference's mpsc tile funnel,
+    `/root/reference/src/application.rs:213,284-306`).  Single-process
+    runs skip the collective entirely.
     """
-    acc = np.asarray(jax.device_get(radiance_sum)).astype(np.float64)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        acc = np.asarray(
+            multihost_utils.process_allgather(radiance_sum, tiled=True)
+        ).astype(np.float64)
+    else:
+        acc = np.asarray(jax.device_get(radiance_sum)).astype(np.float64)
+    return finish_image(acc, samples, W, H)
+
+
+def finish_image(acc: np.ndarray, samples: int, W: int, H: int
+                 ) -> np.ndarray:
+    """Assembly math shared by the single- and multi-host paths: average,
+    sqrt-gamma (application.rs:451-453), bottom-up rows -> top-down."""
     img = np.sqrt(np.maximum(acc / samples, 0.0)).astype(np.float32)
     return img.reshape(H, W, 3)[::-1]

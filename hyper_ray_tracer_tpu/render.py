@@ -394,6 +394,94 @@ def _next_bucket(n: int, cap: int, quantum: int) -> int:
     return min(max(b, quantum), cap)
 
 
+def flush_wavefront(acc, slots, state):
+    """Scatter the wavefront's pending radiance into the full-size
+    accumulator (slots are unique except dead padding, which is zero)."""
+    return acc.at[slots].add(state.radiance)
+
+def compact_wavefront(state, slots, acc, bucket):
+    """Pack alive lanes first (stable), keep the first ``bucket``, and
+    flush the radiance of the DROPPED tail into ``acc``.
+
+    Radiance rides the compaction row gather (3 extra columns), so a
+    lane's radiance is scattered into the accumulator exactly once —
+    when the lane is dropped (or at the final flush).  Scatter-add is
+    the expensive primitive on this device (~90 ns/row measured); the
+    previous flush-everything-then-compact scheme scattered 2.5x the
+    rows per pass.  Per-ray accumulation order is unchanged (each
+    lane's radiance accumulates in bounce order and lands in its own
+    unique slot), so images stay bit-identical to the fixed scan.
+
+    The stable partition is a cumsum + one int32 scatter, not an
+    argsort (the scatter form measured ~10x cheaper at 1.44M lanes and
+    produces the identical permutation)."""
+    n = state.alive.shape[0]
+    alive_pos = jnp.cumsum(state.alive) - 1
+    dead_pos = (alive_pos[-1] + 1) + jnp.cumsum(~state.alive) - 1
+    dest = jnp.where(state.alive, alive_pos, dead_pos).astype(jnp.int32)
+    idx_full = (
+        jnp.zeros(n, jnp.int32)
+        .at[dest]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    )
+    idx = idx_full[:bucket]
+    idx_drop = idx_full[bucket:]
+    n_alive = state.alive.sum()
+    packed_alive = jnp.arange(bucket) < n_alive
+    # Fixed-schedule safety: True if live rays would be dropped.  The
+    # scheduled caller accumulates this on device and checks it once
+    # per pass; on overflow the pass is discarded and rerun with
+    # counted buckets, so scheduling can never change the image.
+    overflow = n_alive > bucket
+    # Row gathers over packed live fields (12 scalar gathers cost
+    # ~156 ms at 1.44M lanes; two row gathers ~20 ms — see
+    # intersect.pack_prim).  base round-trips through a bitcast so the
+    # int rows share one matrix with the slot ids.
+    fpk = jnp.concatenate(
+        [state.o, state.d, state.time[:, None], state.throughput,
+         state.radiance],
+        axis=-1,
+    )[idx]
+    ipk = jnp.stack(
+        [jax.lax.bitcast_convert_type(state.base, jnp.int32), slots],
+        axis=-1,
+    )[idx]
+    acc = acc.at[slots[idx_drop]].add(state.radiance[idx_drop])
+    g = WavefrontState(
+        o=fpk[:, 0:3],
+        d=fpk[:, 3:6],
+        time=fpk[:, 6],
+        base=jax.lax.bitcast_convert_type(ipk[:, 0], jnp.uint32),
+        alive=packed_alive,
+        throughput=fpk[:, 7:10],
+        radiance=fpk[:, 10:13],
+    )
+    return g, ipk[:, 1], acc, overflow
+
+
+def milestone_segments(depth: int):
+    """[(b0, b1)] bounce segments split at the compaction milestones."""
+    milestones = [m for m in _COMPACT_MILESTONES if m < depth]
+    bounds = [0] + milestones + [depth]
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def _pick_bucket(n_alive: int, cur: int, quantum: int) -> int:
+    """Smallest bucket covering ``n_alive`` with >= ~4% head-room.
+
+    Alive counts concentrate hard at wavefront sizes (relative std
+    ~1/sqrt(N * p)), so a few percent above the recorded count makes
+    schedule overflow vanishingly rare — and overflow is *detected*,
+    never silent.  Quantum rounding usually provides the head-room for
+    free; only a bucket landing within 4% of the count is bumped
+    (a blanket multiplicative margin measured ~60 ms/pass when it
+    pushed a bucket across a quantum boundary)."""
+    b = _next_bucket(n_alive, cur, quantum)
+    if b < cur and b - n_alive < max(64, n_alive // 25):
+        b = min(b + quantum, cur)
+    return b
+
+
 def make_compacting_renderer(scene: Scene, width: int, height: int,
                              depth: int, use_bvh: bool, leaf_size: int = 4):
     """Wavefront renderer with dead-ray compaction between bounce chunks.
@@ -414,72 +502,8 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
                                leaf_size, differentiable=False)
     scan_jit = jax.jit(colorer.bounce_scan, static_argnums=(4,))
 
-    def _flush(acc, slots, state):
-        """Scatter the wavefront's pending radiance into the full-size
-        accumulator (slots are unique except dead padding, which is zero)."""
-        return acc.at[slots].add(state.radiance)
-
-    def _compact(state, slots, acc, bucket):
-        """Pack alive lanes first (stable), keep the first ``bucket``, and
-        flush the radiance of the DROPPED tail into ``acc``.
-
-        Radiance rides the compaction row gather (3 extra columns), so a
-        lane's radiance is scattered into the accumulator exactly once —
-        when the lane is dropped (or at the final flush).  Scatter-add is
-        the expensive primitive on this device (~90 ns/row measured); the
-        previous flush-everything-then-compact scheme scattered 2.5x the
-        rows per pass.  Per-ray accumulation order is unchanged (each
-        lane's radiance accumulates in bounce order and lands in its own
-        unique slot), so images stay bit-identical to the fixed scan.
-
-        The stable partition is a cumsum + one int32 scatter, not an
-        argsort (the scatter form measured ~10x cheaper at 1.44M lanes and
-        produces the identical permutation)."""
-        n = state.alive.shape[0]
-        alive_pos = jnp.cumsum(state.alive) - 1
-        dead_pos = (alive_pos[-1] + 1) + jnp.cumsum(~state.alive) - 1
-        dest = jnp.where(state.alive, alive_pos, dead_pos).astype(jnp.int32)
-        idx_full = (
-            jnp.zeros(n, jnp.int32)
-            .at[dest]
-            .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-        )
-        idx = idx_full[:bucket]
-        idx_drop = idx_full[bucket:]
-        n_alive = state.alive.sum()
-        packed_alive = jnp.arange(bucket) < n_alive
-        # Fixed-schedule safety: True if live rays would be dropped.  The
-        # scheduled caller accumulates this on device and checks it once
-        # per pass; on overflow the pass is discarded and rerun with
-        # counted buckets, so scheduling can never change the image.
-        overflow = n_alive > bucket
-        # Row gathers over packed live fields (12 scalar gathers cost
-        # ~156 ms at 1.44M lanes; two row gathers ~20 ms — see
-        # intersect.pack_prim).  base round-trips through a bitcast so the
-        # int rows share one matrix with the slot ids.
-        fpk = jnp.concatenate(
-            [state.o, state.d, state.time[:, None], state.throughput,
-             state.radiance],
-            axis=-1,
-        )[idx]
-        ipk = jnp.stack(
-            [jax.lax.bitcast_convert_type(state.base, jnp.int32), slots],
-            axis=-1,
-        )[idx]
-        acc = acc.at[slots[idx_drop]].add(state.radiance[idx_drop])
-        g = WavefrontState(
-            o=fpk[:, 0:3],
-            d=fpk[:, 3:6],
-            time=fpk[:, 6],
-            base=jax.lax.bitcast_convert_type(ipk[:, 0], jnp.uint32),
-            alive=packed_alive,
-            throughput=fpk[:, 7:10],
-            radiance=fpk[:, 10:13],
-        )
-        return g, ipk[:, 1], acc, overflow
-
-    flush_jit = jax.jit(_flush)
-    compact_jit = jax.jit(_compact, static_argnums=(3,))
+    flush_jit = jax.jit(flush_wavefront)
+    compact_jit = jax.jit(compact_wavefront, static_argnums=(3,))
     count_jit = jax.jit(lambda alive: alive.sum(dtype=jnp.int32))
     reduce_jit = jax.jit(
         lambda acc, spp: acc.reshape(spp, -1, 3).sum(0), static_argnums=(1,))
@@ -497,11 +521,6 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         static_argnums=(3,),
     )
 
-    def _segments(n0):
-        milestones = [m for m in _COMPACT_MILESTONES if m < depth]
-        bounds = [0] + milestones + [depth]
-        return list(zip(bounds[:-1], bounds[1:]))
-
     # Bucket schedule cache: n0 -> [bucket-or-None per milestone].
     # Recorded by the first (counted) pass with head-room; scheduled
     # passes then run the whole bounce chain with ZERO host syncs — each
@@ -509,21 +528,6 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     # (~10% of a depth-10 pass), and a sync-free chain is what the
     # sharded renderer needs (identical static shapes on every device).
     schedules: dict = {}
-
-    def _pick_bucket(n_alive, cur, quantum):
-        """Smallest bucket covering ``n_alive`` with >= ~4% head-room.
-
-        Alive counts concentrate hard at wavefront sizes (relative std
-        ~1/sqrt(N * p)), so a few percent above the recorded count makes
-        schedule overflow vanishingly rare — and overflow is *detected*,
-        never silent.  Quantum rounding usually provides the head-room for
-        free; only a bucket landing within 4% of the count is bumped
-        (a blanket multiplicative margin measured ~60 ms/pass when it
-        pushed a bucket across a quantum boundary)."""
-        b = _next_bucket(n_alive, cur, quantum)
-        if b < cur and b - n_alive < max(64, n_alive // 25):
-            b = min(b + quantum, cur)
-        return b
 
     def _run_counted(arrays, bvh, state, acc, slots, n0):
         """Dynamic path: reads alive counts (one sync per milestone),
@@ -533,7 +537,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         cur = n0
         sched = []
         complete = True
-        for b0, b1 in _segments(n0):
+        for b0, b1 in milestone_segments(depth):
             state = scan_jit(arrays, bvh, state, jnp.uint32(b0), b1 - b0)
             if b1 >= depth:
                 break
@@ -557,7 +561,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         device-side ``over`` flag records whether any milestone's alive
         count exceeded its scheduled bucket."""
         over = None
-        segs = _segments(acc.shape[0])
+        segs = milestone_segments(depth)
         for i, (b0, b1) in enumerate(segs):
             state = scan_jit(arrays, bvh, state, jnp.uint32(b0), b1 - b0)
             bucket = sched[i] if i < len(sched) else None

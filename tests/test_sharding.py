@@ -66,6 +66,83 @@ def test_shardmap_renderer_matches_single_device(setup):
     np.testing.assert_allclose(img, ref, atol=2e-6)
 
 
+def test_sharded_compaction_matches_single_device(setup, monkeypatch):
+    """Probe pass (counted), scheduled compacted pass, and the plain
+    uncompacted sharded renderer must all agree bit-for-bit with each
+    other and match the single-device render."""
+    from hyper_ray_tracer_tpu import render as R
+    from hyper_ray_tracer_tpu.parallel.render_sharded import (
+        make_sharded_compacting_renderer,
+    )
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 16)
+    scene, arrays, bvh, use_bvh, basis, ref = setup
+    depth = 10  # enough milestones for real compaction
+    ref10 = render_image(scene, RenderSettings(width=W, height=H,
+                                               samples=SPP, depth=depth))
+    mesh = make_render_mesh(4, 2)
+    sharding = NamedSharding(mesh, P(AXIS_SPP, AXIS_RAYS))
+    pix = jax.device_put(
+        jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H)),
+        sharding)
+    sam = jax.device_put(
+        jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
+                         (SPP, W * H)), sharding)
+
+    run = make_sharded_compacting_renderer(scene, W, H, depth, mesh,
+                                           use_bvh)
+    rad_probe = run(arrays, bvh, basis, pix, sam, np.uint32(0))
+    rad_sched = run(arrays, bvh, basis, pix, sam, np.uint32(0))
+    np.testing.assert_array_equal(rad_probe, rad_sched)
+
+    plain = make_shardmap_renderer(scene, W, H, depth, mesh, use_bvh)
+    rad_plain = np.asarray(plain(arrays, bvh, basis, pix, sam,
+                                 np.uint32(0)))
+    # ULP-level only: the segmented chain and the single 10-bounce scan
+    # compile to different XLA programs whose fusions reassociate a few
+    # float adds (measured max 5e-7 on values ~2.4).  The compaction
+    # itself changes nothing — probe vs scheduled above is exact.
+    np.testing.assert_allclose(rad_plain, rad_probe, rtol=3e-6, atol=1e-6)
+
+    img = gather_image(jnp.asarray(rad_sched), SPP, W, H)
+    np.testing.assert_allclose(img, ref10, atol=2e-6)
+
+
+def test_sharded_compaction_overflow_reprobes(setup, monkeypatch):
+    """A sabotaged schedule must be detected via the pmax'd overflow flag
+    and the pass redone by re-probing — identical output either way."""
+    from hyper_ray_tracer_tpu import render as R
+    from hyper_ray_tracer_tpu.parallel.render_sharded import (
+        make_sharded_compacting_renderer,
+    )
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 16)
+    scene, arrays, bvh, use_bvh, basis, _ = setup
+    depth = 10
+    mesh = make_render_mesh(4, 2)
+    sharding = NamedSharding(mesh, P(AXIS_SPP, AXIS_RAYS))
+    pix = jax.device_put(
+        jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H)),
+        sharding)
+    sam = jax.device_put(
+        jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
+                         (SPP, W * H)), sharding)
+    run = make_sharded_compacting_renderer(scene, W, H, depth, mesh,
+                                           use_bvh)
+    a = run(arrays, bvh, basis, pix, sam, np.uint32(0))
+    cache = [c.cell_contents for c in run.__closure__
+             if isinstance(c.cell_contents, dict)][0]
+    (key, (sched, _block)), = cache.items()
+    bad = tuple(16 for _ in sched)
+    cache[key] = (bad, [c.cell_contents for c in run.__closure__
+                        if callable(c.cell_contents)
+                        and c.cell_contents.__name__ == "_make_scheduled"
+                        ][0](bad))
+    b = run(arrays, bvh, basis, pix, sam, np.uint32(0))
+    np.testing.assert_array_equal(a, b)
+    assert cache[key][0] != bad  # re-recorded
+
+
 def test_sharded_gradients_match_unsharded(setup):
     scene, arrays, bvh, use_bvh, basis, _ = setup
     loss_fn = make_loss_fn(scene, W, H, DEPTH, use_bvh)
