@@ -85,9 +85,10 @@ def resolve_intersector(scene: Scene, use_bvh) -> str:
     0.80 Mrays/s camera).  Tile-level culling needs ray coherence, which
     only camera rays have — after one diffuse bounce a 2048-lane tile
     overlaps essentially every cluster (measured 7-8/8 even re-sorted), so
-    secondary bounces pay full pair work plus the culling machinery.  The
-    renderer applies cluster culling selectively to the primary bounce
-    instead (see make_ray_colorer).
+    secondary bounces pay full pair work plus the culling machinery.  At
+    reference scales the sweep wins outright; culling becomes mandatory
+    only when the primitive count makes O(N*P) unpayable
+    (tools/bench_crossover.py measures where).
     """
     if isinstance(use_bvh, str):
         if use_bvh not in ("sweep", "cluster", "bvh"):

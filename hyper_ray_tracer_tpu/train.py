@@ -70,12 +70,23 @@ class TrainState(NamedTuple):
 
 
 def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
-                 use_bvh: bool, leaf_size: int = 4, remat: bool = False):
+                 use_bvh: bool, leaf_size: int = 4, remat: bool = False,
+                 silhouette: bool = False):
     """loss(params, arrays, bvh, basis, pixel_ids, sample_ids, seed, target)
     = mean squared error between mean radiance and a target image
-    ([W*H, 3], linear radiance, bottom-up rows)."""
+    ([W*H, 3], linear radiance, bottom-up rows).
+
+    ``silhouette=True`` adds the edge-sampled boundary term (ops/edges.py)
+    so geometry gradients also see occlusion-boundary motion, not just the
+    fixed-decision interior term.  Requires ``pixel_ids`` to cover the full
+    frame (the correction is a whole-image tangent)."""
     ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
                                  remat=remat)
+    if silhouette:
+        from .ops.edges import make_silhouette_correction
+
+        correction = make_silhouette_correction(scene, W, H, depth, use_bvh,
+                                                leaf_size)
 
     def loss_fn(params, arrays, bvh, basis, pixel_ids, sample_ids, seed,
                 target):
@@ -84,6 +95,8 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
         rad = ray_color(arrays, bvh, basis, pixel_ids.reshape(-1),
                         sample_ids.reshape(-1), seed)
         mean_rad = rad.reshape(s_blk, W * H, 3).mean(0)
+        if silhouette:
+            mean_rad = mean_rad + correction(arrays, bvh, basis, seed)
         return jnp.mean((mean_rad - target) ** 2)
 
     return loss_fn
@@ -91,12 +104,13 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
 
 def make_train_step(scene: Scene, W: int, H: int, depth: int,
                     use_bvh: bool, leaf_size: int = 4,
-                    learning_rate: float = 1e-2, remat: bool = False):
+                    learning_rate: float = 1e-2, remat: bool = False,
+                    silhouette: bool = False):
     """One adam step of inverse rendering.  Fully jittable; under a sharded
     jit the scene-parameter gradients are psum-reduced across the mesh by
     autodiff (replicated params, sharded rays)."""
     loss_fn = make_loss_fn(scene, W, H, depth, use_bvh, leaf_size,
-                           remat=remat)
+                           remat=remat, silhouette=silhouette)
     optimizer = optax.adam(learning_rate)
 
     def init(arrays) -> TrainState:
