@@ -40,6 +40,11 @@ CLUSTER_MIN_RUN = 256
 # in (MAX_CLUSTER/2, MAX_CLUSTER].
 MAX_CLUSTER = 128
 
+# Cap on clusters per type run: Phase A of the culled sweep slab-tests
+# every ray against every cluster AABB ([N, C] dense), so C must stay
+# small even for 300k-primitive scenes — clusters grow wider instead.
+MAX_CLUSTERS_PER_RUN = 256
+
 
 class ClusterRun(NamedTuple):
     """One type-pure run of clusters in the padded geometry layout."""
@@ -115,8 +120,9 @@ def build_clusters(geom: GeometrySoA,
             src_parts.append(np.arange(a, b, dtype=np.int64))
             cursor += count
             continue
+        max_leaf = max(MAX_CLUSTER, -(-count // MAX_CLUSTERS_PER_RUN))
         leaves = _median_split(np.arange(a, b, dtype=np.int64), centers2,
-                               MAX_CLUSTER)
+                               max_leaf)
         width = -(-max(len(lv) for lv in leaves) // 8) * 8
         cmin = np.stack([amin[lv].min(0) for lv in leaves])
         cmax = np.stack([amax[lv].max(0) for lv in leaves])

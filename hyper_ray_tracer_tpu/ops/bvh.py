@@ -23,8 +23,11 @@ synchronous over the whole ray wavefront:
   divergent node cursors force [N]-sized gathers every traversal step, which
   is the pathological access pattern for a vector machine, while the dense
   tile sweep is contiguous broadcast compute at near-VPU-peak.  This is the
-  default intersector for every reference scene (max ~3.4k prims); the BVH
-  remains available for asymptotically large scenes.
+  default intersector for every reference scene (max ~3.4k prims).  Above
+  ~30k prims auto switches to the cluster-culled sweep
+  (ops/cluster_sweep.py); the measured crossover (tools/bench_crossover.py)
+  shows gather-based traversal never winning at any scale up to 300k, so
+  the BVH remains only as the forced 'bvh' parity mode.
 
 Both return ``(t_best, prim_idx)`` with ``prim_idx == -1`` for a miss.
 """

@@ -60,35 +60,45 @@ RENDER_FORMAT_VERSION = 3
 _SKY_WHITE = np.float32([1.0, 1.0, 1.0])
 _SKY_BLUE = np.float32([0.5, 0.7, 1.0])
 
-# Scenes smaller than this are faster with the dense tiled all-pairs sweep
-# than with gather-based BVH traversal on a vector machine.  Measured on TPU
-# v5e: the tiled sweep beats the BVH by ~77x even on the *largest* reference
-# scene (final, 3.4k prims, 67 ms vs 5.1 s per 90k-ray wavefront) because
-# per-ray divergent node cursors force [N]-gathers every traversal step.
-# The BVH (use_bvh=True) remains for asymptotically large scenes, where the
-# O(P) sweep must eventually lose to O(log P) traversal.
-AUTO_BVH_MIN_PRIMS = 100_000
+# Measured crossover (tools/bench_crossover.py, TPU v5e, 90k rays,
+# synthetic K-sphere scenes; ms per trace, camera / secondary rays):
+#
+#   K       sweep        cluster      bvh (ray-scaled)
+#   3,400     32 /  34     28 /  36    1,611 /  2,244
+#   30,000   124 / 123     35 / 114    2,513 /  4,994
+#   100,000  346 / 346     47 / 234    3,233 /  8,175
+#   300,000  983 / 983     92 / 680    4,351 / 12,561
+#
+# Two conclusions drive the auto policy: (1) gather-based BVH traversal
+# NEVER wins — per-ray divergent node cursors force [N]-gathers every
+# step (~1.8 ns/elem), so even at 300k prims it trails the cluster sweep
+# by ~50x; it stays available only as the forced 'bvh' parity mode.
+# (2) the cluster-culled sweep overtakes the plain sweep at ~30k prims on
+# BOTH ray distributions (at reference scales the sweep still wins
+# end-to-end — see resolve_intersector).
+AUTO_CLUSTER_MIN_PRIMS = 30_000
 
 
 def resolve_intersector(scene: Scene, use_bvh) -> str:
     """Map a RenderSettings.use_bvh value to an intersector mode.
 
     ``use_bvh`` accepts the historical booleans and explicit mode strings:
-      None       auto: 'bvh' above AUTO_BVH_MIN_PRIMS, else 'sweep'
-      False      auto non-BVH ('sweep')
+      None       auto: 'cluster' above AUTO_CLUSTER_MIN_PRIMS, else 'sweep'
+      False      auto non-BVH (same as None)
       True       'bvh'
       'sweep' | 'cluster' | 'bvh'   forced
 
-    The cluster-culled intersector is opt-in ('cluster'), not the auto
-    default: measured on TPU v5e (final scene, depth 10 compacted render),
-    cluster-everywhere is 1.6x SLOWER end-to-end than the sweep (0.49 vs
-    0.80 Mrays/s camera).  Tile-level culling needs ray coherence, which
-    only camera rays have — after one diffuse bounce a 2048-lane tile
-    overlaps essentially every cluster (measured 7-8/8 even re-sorted), so
-    secondary bounces pay full pair work plus the culling machinery.  At
-    reference scales the sweep wins outright; culling becomes mandatory
-    only when the primitive count makes O(N*P) unpayable
-    (tools/bench_crossover.py measures where).
+    At reference scales (≤3.4k prims) the sweep wins end-to-end: measured
+    on TPU v5e (final scene, depth 10 compacted render), cluster-everywhere
+    is 1.6x SLOWER than the sweep (0.49 vs 0.80 Mrays/s camera) — tile-
+    level culling needs ray coherence, which only camera rays have; after
+    one diffuse bounce a 2048-lane tile overlaps essentially every cluster
+    (measured 7-8/8 even re-sorted), so secondary bounces pay full pair
+    work plus the culling machinery.  From ~30k prims the avoided pairs
+    dwarf that overhead on BOTH ray distributions (the measured table
+    above AUTO_CLUSTER_MIN_PRIMS), so auto switches to 'cluster'.  Auto
+    never picks 'bvh' — the measured table shows gather-based traversal
+    losing at every scale up to 300k prims.
     """
     if isinstance(use_bvh, str):
         if use_bvh not in ("sweep", "cluster", "bvh"):
@@ -96,8 +106,8 @@ def resolve_intersector(scene: Scene, use_bvh) -> str:
         return use_bvh
     if use_bvh is True:
         return "bvh"
-    if use_bvh is None and scene.static.n_prims >= AUTO_BVH_MIN_PRIMS:
-        return "bvh"
+    if scene.static.n_prims >= AUTO_CLUSTER_MIN_PRIMS:
+        return "cluster"
     return "sweep"
 
 
@@ -128,8 +138,8 @@ class RenderSettings:
     depth: int
     seed: int = 0
     spp_chunk: Optional[int] = None  # samples per device pass
-    # Intersector choice: None = auto (cluster culling for big scenes,
-    # plain sweep otherwise, BVH above AUTO_BVH_MIN_PRIMS); also accepts
+    # Intersector choice: None = auto (cluster culling above
+    # AUTO_CLUSTER_MIN_PRIMS, plain sweep otherwise); also accepts
     # True/False and the mode strings 'sweep' | 'cluster' | 'bvh'
     # (see resolve_intersector).
     use_bvh: Union[None, bool, str] = None

@@ -7,6 +7,8 @@ bound), so rendered images match the dense sweep's bit for bit up to
 exact-t tie-breaks (none in the reference scenes' images).
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -17,6 +19,7 @@ from hyper_ray_tracer_tpu.models.clusters import (
     cluster_eligible,
 )
 from hyper_ray_tracer_tpu.render import (
+    AUTO_CLUSTER_MIN_PRIMS,
     RenderSettings,
     block_order,
     render_image,
@@ -67,12 +70,19 @@ def test_eligibility():
     assert cornell.static.n_prims < CLUSTER_MIN_RUN
     assert not cluster_eligible(cornell.arrays.geom, cornell.static.n_prims)
     assert resolve_intersector(cornell, None) == "sweep"
-    # Auto stays 'sweep' even for eligible scenes: cluster-everywhere was
-    # measured 1.6x slower end-to-end (see resolve_intersector docstring);
-    # cluster culling is applied per-bounce instead.
+    # Auto stays 'sweep' at reference scales (cluster-everywhere measured
+    # 1.6x slower end-to-end there) and switches to 'cluster' above the
+    # measured ~30k-prim crossover (tools/bench_crossover.py); it never
+    # picks 'bvh' (traversal measured losing at every scale up to 300k).
     assert resolve_intersector(build_scene("final"), None) == "sweep"
     assert resolve_intersector(build_scene("final"), "cluster") == "cluster"
     assert resolve_intersector(build_scene("final"), True) == "bvh"
+
+    big = build_scene("final")
+    big = dataclasses.replace(
+        big, static=dataclasses.replace(
+            big.static, n_prims=AUTO_CLUSTER_MIN_PRIMS))
+    assert resolve_intersector(big, None) == "cluster"
 
 
 @pytest.mark.parametrize("name,s", [
