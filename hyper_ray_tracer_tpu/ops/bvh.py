@@ -44,6 +44,54 @@ from ..models.scene import PT_NONE, PT_RECT, PT_SPHERE
 from .intersect import BIG, PrimFields, aabb_hit, gather_prim, \
     make_prim_intersector
 
+# bf16 candidate hit tests (opt-in, DESIGN.md §10 / VERDICT item 6).
+# Measured on TPU v5e (tools/bench_bf16.py): the [N, TILE] sphere fold runs
+# ~2.1x faster in bf16 than f32 once the ~28 ms sync floor is subtracted
+# (the VPU packs bf16 at (16, 128) native tiling).  bf16's 8 mantissa bits
+# make the *selection* noisy (winners within ~0.5% relative t can swap, and
+# decision-boundary hits can flip); the renderer therefore re-verifies the
+# cross-tile winner's t in f32 (render.py bounce_step recompute), so the
+# hit point / shading / next-ray origin are f32-exact for the selected
+# primitive and only the selection itself carries bf16 noise.
+#
+# SPHERES ONLY — a rect bf16 path was built and rejected: the rect test IS
+# its interval comparisons (a0 <= oa + t*da <= a1), and the t*da term's
+# bf16 error is ~1% of the distance travelled, i.e. wall-edge jitter of
+# ~5 world units on a 555-unit cornell wall — a visible artifact, unlike
+# the sphere path's ~0.5%-of-local-radius silhouette noise.  Doing the
+# interval math in f32 leaves rects with ~1 bf16-able op of 11; not worth
+# a precision mode.  (Measured before the fix below, bf16-everything
+# drifted the final scene by 3.5e-2 mean |dI|; sphere-only-with-f32-
+# differences measures ~1e-3 — MC-noise scale.)
+_BF = jnp.bfloat16
+_BIG_BF = _BF(3.0e38)
+
+
+def _sphere_tile_bf16(pf, o32, d16, a16, inv_a16, t_min16, t_max16):
+    """Static no-xform sphere tile in bf16 (sphere.rs:40-58 semantics).
+
+    The ray-center DIFFERENCE is computed in f32 and only then cast:
+    rounding o and c to bf16 *before* subtracting makes the oc error scale
+    with |o| (catastrophic cancellation — secondary rays sit ON geometry
+    hundreds of units from the origin while |oc| to the next surface is
+    O(1)).  Differencing first keeps every bf16 rounding relative to the
+    LOCAL scale |oc|, so t errors stay ~0.5% of t.
+    """
+    r = pf.radius.astype(_BF)  # [1, W]
+    oc = (o32 - pf.p0).astype(_BF)  # [N, W, 3] f32 subtract, then cast
+    half_b = (oc * d16).sum(-1)
+    c2 = (oc * oc).sum(-1) - r * r
+    disc = half_b * half_b - a16 * c2
+    sq = jnp.sqrt(jnp.maximum(disc, _BF(0.0)))
+    t_near = (-half_b - sq) * inv_a16
+    t_far = (-half_b + sq) * inv_a16
+    exists = disc >= _BF(0.0)
+    ok1 = exists & (t_near >= t_min16) & (t_near <= t_max16)
+    ok2 = exists & (t_far >= t_min16) & (t_far <= t_max16)
+    return jnp.where(ok1, t_near, jnp.where(ok2, t_far, _BIG_BF))
+
+
+
 # Primitive-tile width for the dense sweep: multiples of the 128-lane VPU
 # register width; 512 measured fastest on TPU v5e (flat 256..2048).
 SCAN_TILE = 512
@@ -140,11 +188,17 @@ def _tile_plan(host_geom, n_prims: int, max_tile: int):
     return plan
 
 
-def make_scan_intersector(static, host_geom=None):
+def make_scan_intersector(static, host_geom=None, bf16=False):
     """``host_geom``: the NumPy geometry the runtime arrays will follow
     (same primitive order!).  When given, the tile loop is unrolled at trace
     time and each tile's intersection math is specialised to the primitive
-    types / motion / transforms actually present in it."""
+    types / motion / transforms actually present in it.
+
+    ``bf16``: compute candidate hit distances of static no-xform sphere
+    tiles in bfloat16 (see the module-top bf16 notes — rects measured
+    unviable; requires the planned path, i.e. ``host_geom``).  The returned
+    t is always f32; the caller must re-verify the winner's t in f32
+    (render.py does)."""
     n_prims = static.n_prims
     tile = _scan_tile(n_prims)
     n_tiles = -(-n_prims // tile)
@@ -159,20 +213,29 @@ def make_scan_intersector(static, host_geom=None):
     # epilogue, not the dot products, is the roofline here.
     plan = None
     if host_geom is not None:
-        plan = _tile_plan(host_geom, n_prims, SCAN_TILE)
-        if len(plan) <= MAX_PLAN_TILES:
-            plan = [
-                (s, w,
-                 make_prim_intersector(static, types=types,
-                                       has_motion=motion, has_xform=xform,
-                                       rect_axis=rect_axis,
-                                       assume_pure=True))
-                for s, w, types, motion, xform, rect_axis in plan
-            ]
+        raw = _tile_plan(host_geom, n_prims, SCAN_TILE)
+        if len(raw) <= MAX_PLAN_TILES:
+            plan = []
+            for s, w, types, motion, xform, rect_axis in raw:
+                bf_fn = None
+                if bf16 and types == {PT_SPHERE} and not motion \
+                        and not xform:
+                    bf_fn = _sphere_tile_bf16
+                plan.append((
+                    s, w,
+                    make_prim_intersector(static, types=types,
+                                          has_motion=motion,
+                                          has_xform=xform,
+                                          rect_axis=rect_axis,
+                                          assume_pure=True),
+                    bf_fn,
+                ))
         else:
             plan = None
     if plan is None:
         hit_t = make_prim_intersector(static)
+    use_bf16 = bf16 and plan is not None and any(
+        e[3] is not None for e in plan)
 
     def scan_all(geom, o, d, time, t_min, ray_bits, active):
         if plan is None and p_pad != n_prims:
@@ -191,6 +254,11 @@ def make_scan_intersector(static, host_geom=None):
         d_b = d[:, None, :]
         time_b = time[:, None]
         bits_b = ray_bits[:, None]
+        if use_bf16:
+            d16 = d_b.astype(_BF)
+            a16 = (d16 * d16).sum(-1)  # [N, 1]
+            inv_a16 = _BF(1.0) / a16
+            t_min16 = jnp.asarray(t_min, _BF)
 
         # Derive loop carries from ray data so they are device-varying under
         # shard_map (constant inits would fail the scan carry type check).
@@ -220,13 +288,30 @@ def make_scan_intersector(static, host_geom=None):
                        jnp)  # [N, width]
             return fold(start, t, t_best, best)
 
+        def tile_step_bf16(start, width, t_best, best, bf_fn):
+            pf = tile_slice(start, width)
+            t_max16 = t_best.astype(_BF)[:, None]
+            t16 = bf_fn(pf, o_b, d16, a16, inv_a16, t_min16, t_max16)
+            # Fold in f32: the per-tile argmin/min runs at bf16 rate (the
+            # bulk of the fold cost); only the [N]-sized cross-tile
+            # compare is upcast.
+            j = jnp.argmin(t16, axis=1).astype(jnp.int32)
+            tt = jnp.min(t16, axis=1).astype(jnp.float32)
+            upd = tt < t_best
+            return (jnp.where(upd, tt, t_best),
+                    jnp.where(upd, start + j, best))
+
         if plan is not None:
             # Unrolled: each run-aligned tile gets its own specialised
             # intersection code (see _tile_plan).
             t_best, best = t0, best0
-            for start, width, hit_fn in plan:
-                t_best, best = tile_step(start, width, t_best, best,
-                                         hit_fn)
+            for start, width, hit_fn, bf_fn in plan:
+                if use_bf16 and bf_fn is not None:
+                    t_best, best = tile_step_bf16(start, width, t_best,
+                                                  best, bf_fn)
+                else:
+                    t_best, best = tile_step(start, width, t_best, best,
+                                             hit_fn)
         else:
             def body(i, carry):
                 return tile_step(i * tile, tile, carry[0], carry[1], hit_t)
@@ -293,12 +378,13 @@ def make_bvh_traverser(static, leaf_size: int):
 
 
 def make_intersector(static, *, use_bvh: bool, leaf_size: int = 4,
-                     host_geom=None):
+                     host_geom=None, bf16=False):
     """Unified interface: trace(geom, bvh, o, d, time, t_min, ray_bits,
     active) -> (t, prim).
 
     ``host_geom`` (scan path only): NumPy geometry in the runtime primitive
-    order, enabling per-tile type specialisation of the dense sweep."""
+    order, enabling per-tile type specialisation of the dense sweep.
+    ``bf16`` (scan path only): bf16 candidate hit tests (module-top notes)."""
     if use_bvh:
         trav = make_bvh_traverser(static, leaf_size)
 
@@ -306,7 +392,7 @@ def make_intersector(static, *, use_bvh: bool, leaf_size: int = 4,
             return trav(bvh, geom, o, d, time, t_min, ray_bits, active)
 
     else:
-        scan = make_scan_intersector(static, host_geom)
+        scan = make_scan_intersector(static, host_geom, bf16=bf16)
 
         def trace(geom, bvh, o, d, time, t_min, ray_bits, active):
             return scan(geom, o, d, time, t_min, ray_bits, active)

@@ -158,6 +158,11 @@ class RenderSettings:
     # of the lanes.  Per-ray RNG streams make the result bit-identical to
     # the fixed-shape scan.
     compaction: Optional[bool] = None
+    # bf16 candidate hit tests with f32 winner re-verification (sweep mode
+    # only; see make_ray_colorer).  Off by default: renders are no longer
+    # bit-identical to f32 (selection noise), and the measured end-to-end
+    # win is modest (DESIGN.md §10).
+    bf16_hits: bool = False
 
 
 class WavefrontState(NamedTuple):
@@ -175,7 +180,8 @@ class WavefrontState(NamedTuple):
 
 def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
                      use_bvh: bool, leaf_size: int = 4,
-                     remat: bool = False, differentiable: bool = True):
+                     remat: bool = False, differentiable: bool = True,
+                     bf16_hits: bool = False):
     """Build the jittable wavefront kernel.
 
     Returns f(arrays, bvh, basis, pixel_ids, sample_ids, seed) -> [N,3]
@@ -192,6 +198,14 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     closed-form hit-distance recompute that exists only to route gradients
     around the discrete traversal — ~15% less per-bounce work; values agree
     with the differentiable path to float rounding.
+
+    ``bf16_hits=True`` (sweep mode only; ignored for cluster/bvh) computes
+    candidate hit distances of static no-xform sphere tiles in bf16 and
+    re-verifies the winner's t in f32 (the recompute runs even when
+    ``differentiable=False``), so only WHICH primitive wins carries bf16
+    noise: selection flips confined to ~0.5%-wide silhouette bands
+    (tests/test_bf16.py bounds the image drift; ops/bvh.py documents why
+    rect tiles stay f32).  Renders are not bit-identical to f32.
     """
     static = scene.static
     background = scene.background
@@ -214,7 +228,9 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         # host-side arrays drive per-tile type specialisation of the sweep.
         trace = make_intersector(
             static, use_bvh=(mode == "bvh"), leaf_size=leaf_size,
-            host_geom=scene.arrays.geom if mode == "sweep" else None)
+            host_geom=scene.arrays.geom if mode == "sweep" else None,
+            bf16=(bf16_hits and mode == "sweep"))
+    bf16_hits = bf16_hits and mode == "sweep"
     prim_hit_t = make_prim_intersector(static)
     detail_fn = make_hit_detailer(static)
     w_minus_1 = np.float32(width - 1)
@@ -288,7 +304,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         # of the bounce scan.
         fpack, ipack = pack_prim(geom, jnp)
         pf, mat_idx = gather_prim_packed(fpack, ipack, pidx)
-        if differentiable:
+        if differentiable or bf16_hits:
             # Differentiable recompute of the winning hit distance: for the
             # winner the same closed form evaluates to the traversal's t
             # (media free-flight t does not depend on t_max; spheres always
@@ -494,7 +510,8 @@ def _pick_bucket(n_alive: int, cur: int, quantum: int) -> int:
 
 
 def make_compacting_renderer(scene: Scene, width: int, height: int,
-                             depth: int, use_bvh: bool, leaf_size: int = 4):
+                             depth: int, use_bvh: bool, leaf_size: int = 4,
+                             bf16_hits: bool = False):
     """Wavefront renderer with dead-ray compaction between bounce chunks.
 
     Returns run(arrays, bvh, basis, perm, sample0, n_samples, seed) ->
@@ -510,7 +527,8 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     depth 10 and far more at depth 50.
     """
     colorer = make_ray_colorer(scene, width, height, depth, use_bvh,
-                               leaf_size, differentiable=False)
+                               leaf_size, differentiable=False,
+                               bf16_hits=bf16_hits)
     scan_jit = jax.jit(colorer.bounce_scan, static_argnums=(4,))
 
     flush_jit = jax.jit(flush_wavefront)
@@ -679,7 +697,8 @@ def render_image(scene: Scene, settings: RenderSettings,
 
     if compaction:
         run_compacted = make_compacting_renderer(
-            scene, W, H, settings.depth, use_bvh, settings.leaf_size)
+            scene, W, H, settings.depth, use_bvh, settings.leaf_size,
+            bf16_hits=settings.bf16_hits)
         basis_dev = jax.device_put(basis)
         arrays_dev, bvh_dev = jax.device_put((arrays, bvh))
 
@@ -693,7 +712,7 @@ def render_image(scene: Scene, settings: RenderSettings,
     else:
         ray_color = make_ray_colorer(
             scene, W, H, settings.depth, use_bvh, settings.leaf_size,
-            differentiable=False,
+            differentiable=False, bf16_hits=settings.bf16_hits,
         )
         perm_j = jnp.asarray(perm)
         inv_j = jnp.asarray(inv)
