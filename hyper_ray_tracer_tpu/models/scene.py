@@ -14,7 +14,18 @@ Flattening rules (what happened to each reference component):
   static sphere is a moving sphere with ``p1 == p0``.
 * ``Rect`` (rect.rs) -> PT_RECT with plane tag ``axis`` (0=XY,1=YZ,2=ZX) and
   ``p0 = (a0, b0, k)``, ``p1 = (a1, b1, 0)``.
-* ``Cuboid`` (cuboid.rs:31-88) -> 6 PT_RECTs, same decomposition order.
+* ``Cuboid`` (cuboid.rs:31-88) -> ONE PT_BOX with ``p0``/``p1`` = box
+  min/max, intersected by a slab test instead of the reference's 6-rect
+  ``List`` scan.  The closest slab-interval endpoint inside
+  ``[t_min, t_max]`` is exactly the closest valid face-rect hit (entry
+  face for rays outside, exit face for rays inside), and the face's
+  outward normal / uv reproduce rect.rs:81-83 + the cuboid.rs face
+  parameterisation, so semantics are unchanged while the dense sweep pays
+  ~1/6th the per-cuboid pair count (tests/test_box.py proves equivalence
+  against an explicit 6-rect decomposition).  Face-EDGE grazes are the
+  only divergence (the slab interval is open where two inclusive rect
+  interval tests could both accept a shared edge) — measure-zero for MC
+  rendering.
 * ``ConstantMedium`` (constant_medium.rs) -> PT_MEDIUM_SPHERE /
   PT_MEDIUM_BOX with ``neg_inv_density``; entry/exit are computed
   analytically instead of via two boundary ``hit`` calls.
@@ -57,6 +68,7 @@ PT_SPHERE = 0
 PT_RECT = 1
 PT_MEDIUM_SPHERE = 2
 PT_MEDIUM_BOX = 3
+PT_BOX = 4
 PT_NONE = -1  # padding; never hit
 
 # Rect plane tags -> (k_axis, a_axis, b_axis), matching rect.rs:54-58.
@@ -135,6 +147,7 @@ class SceneStatic:
     n_prims_padded: int
     has_ray_xform: bool  # any rect/box with a non-identity rotation
     has_media: bool
+    has_boxes: bool  # any PT_BOX (solid cuboid) primitive
     has_motion: bool
     has_noise_tex: bool
     has_image_tex: bool
@@ -329,7 +342,34 @@ class SceneBuilder:
 
     def cuboid(self, box_min, box_max, material: int,
                rot: Optional[np.ndarray] = None, trans=None):
-        """Axis-aligned box -> 6 rects, same decomposition as cuboid.rs:31-88."""
+        """Axis-aligned box (cuboid.rs:31-88) as ONE PT_BOX slab primitive.
+
+        Hit semantics are equivalent to the reference's 6-rect ``List``
+        scan (see the module docstring); the final scene's 400 ground
+        cuboids cost 400 slab columns in the dense sweep instead of 2400
+        rect columns.  A pure translation folds into the box bounds; a
+        rotation is stored as the per-primitive baked transform.
+        """
+        mn, mx = np.float32(box_min), np.float32(box_max)
+        r, t = _identity_xform()
+        if rot is not None:
+            r = np.asarray(rot, np.float32)
+        if trans is not None:
+            t = np.asarray(trans, np.float32)
+        if np.allclose(r, np.eye(3)) and np.any(t != 0.0):
+            mn, mx = mn + t, mx + t
+            r, t = _identity_xform()
+        self._prims.append(
+            dict(ptype=PT_BOX, p0=mn, p1=mx, radius=0.0, axis=0,
+                 time0=0.0, time1=1.0, nid=0.0, material=material,
+                 rot=r, trans=t)
+        )
+
+    def cuboid_rects(self, box_min, box_max, material: int,
+                     rot: Optional[np.ndarray] = None, trans=None):
+        """The reference's literal 6-rect decomposition (cuboid.rs:31-88),
+        same face order.  Kept as the semantic ground truth that
+        tests/test_box.py proves PT_BOX equivalent to."""
         mn, mx = np.float32(box_min), np.float32(box_max)
         faces = [
             (PLANE_XY, mn[0], mx[0], mn[1], mx[1], mx[2]),
@@ -399,7 +439,9 @@ class SceneBuilder:
             mn[ba], mx[ba] = b0, b1
             mn[ka], mx[ka] = k - RECT_PAD, k + RECT_PAD
             return _rotate_aabb(mn, mx, p["rot"], p["trans"])
-        if pt == PT_MEDIUM_BOX:
+        if pt in (PT_MEDIUM_BOX, PT_BOX):
+            # cuboid.rs:104-106: the box AABB is (min, max) directly —
+            # no thin-axis pad, unlike its constituent rects.
             return _rotate_aabb(p["p0"], p["p1"], p["rot"], p["trans"])
         raise ValueError(f"bad ptype {pt}")
 
@@ -509,6 +551,7 @@ class SceneBuilder:
                 p["ptype"] in (PT_MEDIUM_SPHERE, PT_MEDIUM_BOX)
                 for p in self._prims
             ),
+            has_boxes=any(p["ptype"] == PT_BOX for p in self._prims),
             has_motion=any(
                 p["ptype"] == PT_SPHERE and np.any(p["p0"] != p["p1"])
                 for p in self._prims

@@ -14,6 +14,10 @@ Semantics sources:
                                inclusive [t_min, t_max] bounds)
   moving      moving_sphere.rs:53-95 (center lerped at ray.time)
   rect        rect.rs:53-86   (axis permutation table, inclusive bounds)
+  box         cuboid.rs:31-88 (solid cuboid = 6-rect List; intersected as
+                               ONE slab interval — the closest in-range
+                               interval endpoint IS the closest face-rect
+                               hit; see box_t)
   medium      constant_medium.rs:34-76 (entry/exit + exponential free flight)
   aabb        aabb.rs:20-47   (slab test, t_max <= t_min -> miss)
 """
@@ -26,6 +30,7 @@ import numpy as np
 
 from ..models.scene import (
     PLANE_AXES,
+    PT_BOX,
     PT_MEDIUM_BOX,
     PT_MEDIUM_SPHERE,
     PT_RECT,
@@ -216,6 +221,41 @@ def rect_t(pf: PrimFields, o, d, t_min, t_max, xp, axis=None):
     return xp.where(ok, t, BIG)
 
 
+def _box_slab(p0, p1, o, d, xp):
+    """Per-axis slab interval of a solid box: (t_entry, t_exit).
+
+    Same tiny-magnitude floor convention as medium_box_t: axis-parallel
+    rays stay finite with the identical slab outcome, and masked-lane
+    gradients never meet an inf primal.
+    """
+    d_safe = xp.where(xp.abs(d) < 1e-20, 1e-20, d)
+    inv = 1.0 / d_safe
+    t_lo = (p0 - o) * inv
+    t_hi = (p1 - o) * inv
+    t_entry = xp.minimum(t_lo, t_hi).max(-1)
+    t_exit = xp.maximum(t_lo, t_hi).min(-1)
+    return t_entry, t_exit
+
+
+def box_t(pf: PrimFields, o, d, t_min, t_max, xp):
+    """Solid axis-aligned box hit in object space, BIG on miss.
+
+    Equivalence to the reference (cuboid.rs:31-88 decomposed to 6 rects,
+    scanned by list.rs:20-31): a convex box's valid face hits are exactly
+    the slab-interval endpoints t_entry < t_exit, so the closest face-rect
+    hit inside [t_min, t_max] is t_entry when in range (ray origin
+    outside), else t_exit when in range (origin inside), else a miss —
+    the same near-root-first selection shape as sphere.rs:40-58.
+    tests/test_box.py checks this against a literal 6-rect build on rays
+    from inside, outside, and axis-parallel directions.
+    """
+    t_entry, t_exit = _box_slab(pf.p0, pf.p1, o, d, xp)
+    exists = t_exit > t_entry
+    ok1 = exists & (t_entry >= t_min) & (t_entry <= t_max)
+    ok2 = exists & (t_exit >= t_min) & (t_exit <= t_max)
+    return xp.where(ok1, t_entry, xp.where(ok2, t_exit, BIG))
+
+
 def _medium_scatter_t(t_entry, t_exit, pf, d, t_min, t_max, med_u, xp):
     """Exponential free-flight sampling inside [entry, exit]
     (constant_medium.rs:40-76)."""
@@ -280,6 +320,8 @@ def make_prim_intersector(static, *, types=None, has_motion=None,
         types = {PT_SPHERE, PT_RECT}
         if static.has_media:
             types |= {PT_MEDIUM_SPHERE, PT_MEDIUM_BOX}
+        if static.has_boxes:
+            types |= {PT_BOX}
     types = frozenset(types)
     has_media = bool(types & {PT_MEDIUM_SPHERE, PT_MEDIUM_BOX})
     # assume_pure: the caller guarantees every lane is of the single type
@@ -301,6 +343,9 @@ def make_prim_intersector(static, *, types=None, has_motion=None,
             tr = rect_t(pf, o_obj, d_obj, t_min, t_max, xp,
                         axis=rect_axis)
             t = tr if pure else xp.where(pf.ptype == PT_RECT, tr, t)
+        if PT_BOX in types:
+            tb = box_t(pf, o_obj, d_obj, t_min, t_max, xp)
+            t = tb if pure else xp.where(pf.ptype == PT_BOX, tb, t)
         if has_media:
             med_u = prng.bits_to_uniform(
                 prng.stream_bits(ray_bits, prng.P_MEDIUM,
@@ -352,6 +397,7 @@ def make_hit_detailer(static):
     """Returns detail(pf, o, d, time, t) -> HitDetail for winning prims."""
     has_motion = static.has_motion
     has_xform = static.has_ray_xform
+    has_boxes = static.has_boxes
 
     def detail(pf: PrimFields, o, d, time, t, xp) -> HitDetail:
         point = o + t[..., None] * d
@@ -397,6 +443,47 @@ def make_hit_detailer(static):
                            xp.where(is_rect[..., None], outward_r, 0.0))
         u = xp.where(is_sphere, su, xp.where(is_rect, ru, 0.0))
         v = xp.where(is_sphere, sv, xp.where(is_rect, rv, 0.0))
+
+        if has_boxes:
+            # Box branch (object frame): recover WHICH face the winning t
+            # lies on by recomputing the six slab endpoint t's with the
+            # exact arithmetic of box_t — the winner matches one bitwise,
+            # so argmin |t_face - t| is exact, not a tolerance test.
+            is_box = pf.ptype == PT_BOX
+            d_safe = xp.where(xp.abs(d_obj) < 1e-20, 1e-20, d_obj)
+            inv = 1.0 / d_safe
+            t_lo = (pf.p0 - o_obj) * inv
+            t_hi = (pf.p1 - o_obj) * inv
+            tl = xp.minimum(t_lo, t_hi)
+            th = xp.maximum(t_lo, t_hi)
+            cand = xp.concatenate([tl, th], axis=-1)  # [B,6]
+            face_ax = xp.argmin(
+                xp.abs(cand - t[..., None]), axis=-1) % 3  # [B] in {x,y,z}
+            # Outward normal = +1 on the face axis (rect.rs:81-83 — the
+            # reference's cuboid faces at BOTH k=min and k=max carry the
+            # +e_k outward; set_face_normal below orients it, and
+            # front_face inherits the same two-sided-rect convention).
+            outward_b_obj = xp.stack(
+                [(face_ax == 0).astype(np.float32),
+                 (face_ax == 1).astype(np.float32),
+                 (face_ax == 2).astype(np.float32)], axis=-1)
+            if has_xform:
+                outward_b = (pf.rot * outward_b_obj[..., None, :]).sum(-1)
+            else:
+                outward_b = outward_b_obj
+            # Face uv: the cuboid.rs face list parameterises
+            #   z-faces as (a,b) = (x,y)   [PLANE_XY]
+            #   y-faces as (a,b) = (z,x)   [PLANE_ZX]
+            #   x-faces as (a,b) = (y,z)   [PLANE_YZ]
+            span = pf.p1 - pf.p0
+            span = xp.where(span > 0.0, span, 1.0)  # pad/degenerate lanes
+            rel = (point_obj - pf.p0) / span
+            rx, ry, rz = rel[..., 0], rel[..., 1], rel[..., 2]
+            bu = xp.where(face_ax == 0, ry, xp.where(face_ax == 1, rz, rx))
+            bv = xp.where(face_ax == 0, rz, xp.where(face_ax == 1, rx, ry))
+            outward = xp.where(is_box[..., None], outward_b, outward)
+            u = xp.where(is_box, bu, u)
+            v = xp.where(is_box, bv, v)
 
         # set_face_normal (hit_record.rs:22-29). Media keep a zero normal and
         # front_face false (constant_medium.rs:67-75).

@@ -28,6 +28,7 @@ from .models.scene import (
     MT_ISOTROPIC,
     MT_LAMBERTIAN,
     MT_METAL,
+    PT_BOX,
     PT_MEDIUM_BOX,
     PT_MEDIUM_SPHERE,
     PT_NONE,
@@ -125,6 +126,24 @@ class Oracle:
                 return None
             return float(t)
 
+        if pt == PT_BOX:
+            # cuboid.rs:31-88 as one slab interval (ops/intersect.py box_t:
+            # the closest in-range interval endpoint IS the closest valid
+            # face-rect hit of the reference's 6-rect List scan).
+            d_safe = np.where(np.abs(d) < 1e-20, 1e-20, d)
+            inv = 1.0 / d_safe
+            t_lo = (g.p0[i] - o) * inv
+            t_hi = (g.p1[i] - o) * inv
+            t_entry = float(np.minimum(t_lo, t_hi).max())
+            t_exit = float(np.maximum(t_lo, t_hi).min())
+            if not (t_exit > t_entry):
+                return None
+            if t_min <= t_entry <= t_max:
+                return t_entry
+            if t_min <= t_exit <= t_max:
+                return t_exit
+            return None
+
         # constant_medium.rs:34-76
         if pt == PT_MEDIUM_SPHERE:
             center, r = g.p0[i], float(g.radius[i])
@@ -217,6 +236,31 @@ class Oracle:
             v = (b - b0) / (b1 - b0)
             outward = np.zeros(3, F)
             outward[ka] = 1.0
+            if self.static.has_ray_xform:
+                outward = rot @ outward
+        elif pt == PT_BOX:
+            # Face recovery + rect-convention outward/uv; mirrors the
+            # renderer's box branch in ops/intersect.py make_hit_detailer.
+            rot = g.rot[i]
+            o_obj, d_obj = o, d
+            if self.static.has_ray_xform:
+                o_obj = rot.T @ (o - g.trans[i])
+                d_obj = rot.T @ d
+            point_obj = o_obj + t * d_obj
+            d_safe = np.where(np.abs(d_obj) < 1e-20, 1e-20, d_obj)
+            inv = 1.0 / d_safe
+            t_lo = (g.p0[i] - o_obj) * inv
+            t_hi = (g.p1[i] - o_obj) * inv
+            cand = np.concatenate(
+                [np.minimum(t_lo, t_hi), np.maximum(t_lo, t_hi)])
+            ax = int(np.argmin(np.abs(cand - t))) % 3
+            outward = np.zeros(3, F)
+            outward[ax] = 1.0  # rect.rs:81-83 two-sided +e_k convention
+            span = np.where(g.p1[i] > g.p0[i], g.p1[i] - g.p0[i], 1.0)
+            rel = (point_obj - g.p0[i]) / span
+            # z-faces -> (x,y); y-faces -> (z,x); x-faces -> (y,z)
+            u = float(rel[{0: 1, 1: 2, 2: 0}[ax]])
+            v = float(rel[{0: 2, 1: 0, 2: 1}[ax]])
             if self.static.has_ray_xform:
                 outward = rot @ outward
         else:  # media: zero normal, uv = 0 (constant_medium.rs:67-75)
