@@ -108,11 +108,9 @@ def pack_prim(geom, xp):
     return f, i
 
 
-def gather_prim_packed(fpack, ipack, idx):
-    """Row-gather packed prim fields; returns (PrimFields, material_idx)."""
-    g = fpack[idx]
-    gi = ipack[idx]
-    pf = PrimFields(
+def _unpack_prim(g, gi) -> PrimFields:
+    """Slice gathered pack rows back into PrimFields (prefix columns)."""
+    return PrimFields(
         ptype=gi[..., 0],
         stable_id=gi[..., 1],
         p0=g[..., 0:3],
@@ -125,7 +123,93 @@ def gather_prim_packed(fpack, ipack, idx):
         rot=g[..., 10:19].reshape(*g.shape[:-1], 3, 3),
         trans=g[..., 19:22],
     )
-    return pf, gi[..., 2]
+
+
+def gather_prim_packed(fpack, ipack, idx):
+    """Row-gather packed prim fields; returns (PrimFields, material_idx)."""
+    g = fpack[idx]
+    gi = ipack[idx]
+    return _unpack_prim(g, gi), gi[..., 2]
+
+
+class ShadeFields(NamedTuple):
+    """Per-ray material+texture fields, star-joined into the prim pack.
+
+    The reference walks pointer chains at shade time (hit_record ->
+    Arc<dyn Material> -> Arc<dyn Texture>, materials/mod.rs); the wavefront
+    renderer instead denormalises both tables into the primitive rows so
+    the winner gather fetches everything at once.
+    """
+
+    mtype: np.ndarray  # [B] int32
+    ttype: np.ndarray  # [B] int32
+    image_id: np.ndarray  # [B] int32
+    fuzz: np.ndarray  # [B]
+    ior: np.ndarray  # [B]
+    albedo: np.ndarray  # [B,3] (metal)
+    color1: np.ndarray  # [B,3] (solid / checker odd)
+    color2: np.ndarray  # [B,3] (checker even)
+    scale: np.ndarray  # [B] (noise)
+
+
+def pack_prim_shade(arrays, xp):
+    """``pack_prim`` plus a [P]-sized star-join of material/texture rows.
+
+    Measured on TPU v5e (tools/prof_bounce2.py, 1.44M-ray final scene):
+    the shade phase's four separate table gathers (materials x2,
+    textures x2) dominate its +43 ms in-bounce cost, while widening the
+    single winner row gather is comparatively free.  Every
+    material/texture field a bounce can need is therefore joined into the
+    primitive pack — the join runs over [P]-sized arrays and is hoisted
+    out of the bounce scan by XLA — so ONE row gather per bounce fetches
+    geometry, material, and texture together.  Float columns 22:34, int
+    columns 4:7 extend the ``pack_prim`` layout.
+    """
+    geom = arrays.geom
+    mats, texs = arrays.materials, arrays.textures
+    fpack, ipack = pack_prim(geom, xp)
+    m = geom.material
+    t = mats.texture[m]
+    f = xp.concatenate(
+        [
+            fpack,
+            mats.fuzz[m][:, None],
+            mats.ior[m][:, None],
+            mats.albedo[m],
+            texs.color1[t],
+            texs.color2[t],
+            texs.scale[t][:, None],
+        ],
+        axis=-1,
+    )
+    i = xp.concatenate(
+        [
+            ipack,
+            xp.stack(
+                [mats.mtype[m], texs.ttype[t], texs.image_id[t]], axis=-1
+            ),
+        ],
+        axis=-1,
+    )
+    return f, i
+
+
+def gather_prim_shade_packed(fpack, ipack, idx):
+    """Row-gather the joined pack: (PrimFields, material_idx, ShadeFields)."""
+    g = fpack[idx]
+    gi = ipack[idx]
+    sf = ShadeFields(
+        mtype=gi[..., 4],
+        ttype=gi[..., 5],
+        image_id=gi[..., 6],
+        fuzz=g[..., 22],
+        ior=g[..., 23],
+        albedo=g[..., 24:27],
+        color1=g[..., 27:30],
+        color2=g[..., 30:33],
+        scale=g[..., 33],
+    )
+    return _unpack_prim(g, gi), gi[..., 2], sf
 
 
 def _dot(a, b):

@@ -44,28 +44,38 @@ class ScatterResult(NamedTuple):
     did_scatter: np.ndarray  # [B] bool
 
 
-def shade(arrays, mat_idx, hit, d, bb, static, xp) -> ScatterResult:
+def shade(arrays, mat_idx, hit, d, bb, static, xp, sf=None) -> ScatterResult:
     """Shade one wavefront bounce.
 
     arrays: SceneArrays;  mat_idx: [B] int32 winning material ids;
     hit: HitDetail;  d: [B,3] incoming ray directions;
     bb: [B] uint32 per-(pixel,sample,bounce) RNG base hashes.
+    When ``sf`` (intersect.ShadeFields) is given, material and texture
+    rows come from the winner's joined row gather and no table gathers
+    run here (the hot path — see intersect.pack_prim_shade).
     """
-    mats = arrays.materials
-    # Packed row gathers (see intersect.pack_prim): 2 gathers instead of 7.
-    mi = xp.stack([mats.mtype, mats.texture], axis=-1)[mat_idx]
-    mf = xp.concatenate(
-        [mats.fuzz[:, None], mats.ior[:, None], mats.albedo], axis=-1
-    )[mat_idx]
-    mtype = mi[..., 0]
-    tex_idx = mi[..., 1]
-    fuzz = mf[..., 0]
-    ior_all = mf[..., 1]
-    albedo = mf[..., 2:5]
+    if sf is not None:
+        mtype = sf.mtype
+        tex_idx = None
+        fuzz = sf.fuzz
+        ior_all = sf.ior
+        albedo = sf.albedo
+    else:
+        mats = arrays.materials
+        # Packed row gathers (intersect.pack_prim): 2 gathers instead of 7.
+        mi = xp.stack([mats.mtype, mats.texture], axis=-1)[mat_idx]
+        mf = xp.concatenate(
+            [mats.fuzz[:, None], mats.ior[:, None], mats.albedo], axis=-1
+        )[mat_idx]
+        mtype = mi[..., 0]
+        tex_idx = mi[..., 1]
+        fuzz = mf[..., 0]
+        ior_all = mf[..., 1]
+        albedo = mf[..., 2:5]
 
     tex_color = texture_value(
         arrays.textures, arrays.images, arrays.image_wh, arrays.perlin,
-        tex_idx, hit.u, hit.v, hit.point, static, xp,
+        tex_idx, hit.u, hit.v, hit.point, static, xp, sf=sf,
     )
 
     B = mtype.shape if hasattr(mtype, "shape") else ()

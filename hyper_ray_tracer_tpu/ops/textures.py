@@ -24,19 +24,32 @@ from . import perlin
 
 
 def texture_value(textures, images, image_wh, perlin_tables, tex_idx,
-                  u, v, point, static, xp):
+                  u, v, point, static, xp, sf=None):
     """Evaluate texture colors for per-ray texture ids.
 
     tex_idx: [B] int32; u, v: [B]; point: [B,3].  Returns [B,3] float32.
+    When ``sf`` (intersect.ShadeFields) is given the texture rows were
+    already fetched by the winner's joined row gather and no table
+    gathers run here (tex_idx may then be None).
     """
-    # Packed row gathers (see intersect.pack_prim): 2 gathers instead of 9.
-    ti = xp.stack([textures.ttype, textures.image_id], axis=-1)[tex_idx]
-    tf = xp.concatenate(
-        [textures.color1, textures.color2, textures.scale[:, None]], axis=-1
-    )[tex_idx]
-    ttype = ti[..., 0]
-    c1 = tf[..., 0:3]
-    c2 = tf[..., 3:6]
+    if sf is not None:
+        ttype = sf.ttype
+        img_id_pre = sf.image_id
+        c1 = sf.color1
+        c2 = sf.color2
+        scale_pre = sf.scale
+    else:
+        # Packed row gathers (intersect.pack_prim): 2 gathers instead of 9.
+        ti = xp.stack([textures.ttype, textures.image_id], axis=-1)[tex_idx]
+        tf = xp.concatenate(
+            [textures.color1, textures.color2, textures.scale[:, None]],
+            axis=-1,
+        )[tex_idx]
+        ttype = ti[..., 0]
+        img_id_pre = ti[..., 1]
+        c1 = tf[..., 0:3]
+        c2 = tf[..., 3:6]
+        scale_pre = tf[..., 6]
 
     value = c1  # TT_SOLID default; c1 is also the checker 'odd' color
 
@@ -50,15 +63,14 @@ def texture_value(textures, images, image_wh, perlin_tables, tex_idx,
         value = xp.where((ttype == TT_CHECKER)[..., None], checker, value)
 
     if static.has_noise_tex:
-        scale = tf[..., 6]
-        sp = scale[..., None] * point
+        sp = scale_pre[..., None] * point
         turb = perlin.turbulence(perlin_tables, sp, xp)
         marble = 0.5 * (1.0 + xp.sin(sp[..., 2] + 10.0 * turb))
         noise_col = xp.stack([marble, marble, marble], axis=-1)
         value = xp.where((ttype == TT_NOISE)[..., None], noise_col, value)
 
     if static.has_image_tex:
-        img_id = ti[..., 1]
+        img_id = img_id_pre
         wh = image_wh[img_id]  # [B,2] (width, height)
         w = wh[..., 0].astype(np.float32)
         h = wh[..., 1].astype(np.float32)

@@ -40,10 +40,10 @@ from .ops import rng as prng
 from .ops.bvh import make_intersector
 from .ops.intersect import (
     BIG,
-    gather_prim_packed,
+    gather_prim_shade_packed,
     make_hit_detailer,
     make_prim_intersector,
-    pack_prim,
+    pack_prim_shade,
 )
 from .ops.materials import shade
 
@@ -299,11 +299,13 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
 
         pidx = jnp.maximum(prim, 0)
         # One row gather over packed fields instead of 25 per-field gathers
-        # (pack_prim docstring: ~100x cheaper at wavefront sizes).  The
-        # pack itself is [P]-sized and loop-invariant; XLA hoists it out
-        # of the bounce scan.
-        fpack, ipack = pack_prim(geom, jnp)
-        pf, mat_idx = gather_prim_packed(fpack, ipack, pidx)
+        # (pack_prim docstring: ~100x cheaper at wavefront sizes), with the
+        # material/texture tables star-joined in (pack_prim_shade: four
+        # more table gathers saved, ~43 ms/bounce measured).  The pack
+        # itself is [P]-sized and loop-invariant; XLA hoists it out of the
+        # bounce scan.
+        fpack, ipack = pack_prim_shade(arrays, jnp)
+        pf, mat_idx, sfields = gather_prim_shade_packed(fpack, ipack, pidx)
         if differentiable or bf16_hits:
             # Differentiable recompute of the winning hit distance: for the
             # winner the same closed form evaluates to the traversal's t
@@ -323,7 +325,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         else:
             t_use = jnp.where(hit, t_hit, 1.0)
         det = detail_fn(pf, o, d, time, t_use, jnp)
-        sc = shade(arrays, mat_idx, det, d, bb, static, jnp)
+        sc = shade(arrays, mat_idx, det, d, bb, static, jnp, sf=sfields)
 
         contrib = alive & hit
         radiance = radiance + jnp.where(
