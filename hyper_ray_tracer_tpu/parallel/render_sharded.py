@@ -30,12 +30,11 @@ from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..render import (
-    _bucket_quantum,
-    _pick_bucket,
     compact_wavefront,
     flush_wavefront,
     make_ray_colorer,
-    milestone_segments,
+    schedule_from_counts,
+    schedule_groups,
 )
 from .mesh import AXIS_RAYS, AXIS_SPP
 
@@ -122,7 +121,7 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
 
     1. The first call runs a PROBE pass — the plain fixed-depth sharded
        wavefront (a valid, uncompacted render) that also emits the
-       per-milestone alive counts ``pmax``-ed over the mesh.  One readback.
+       per-bounce alive counts ``pmax``-ed over the mesh.  One readback.
     2. The host turns the worst-device counts into a static local bucket
        schedule (same ~4% head-room policy as the single-chip path).
     3. Subsequent calls run the whole compacted chain in ONE jitted
@@ -145,8 +144,6 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
     """
     colorer = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
                                differentiable=False)
-    segments = milestone_segments(depth)
-    n_milestones = sum(1 for _, b1 in segments if b1 < depth)
 
     @partial(
         jax.shard_map,
@@ -159,15 +156,13 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
         s_loc, n_loc = pixel_ids.shape
         state = colorer.init_state(basis, pixel_ids.reshape(-1),
                                    sample_ids.reshape(-1), seed)
-        counts = []
-        for b0, b1 in segments:
-            state = colorer.bounce_scan(arrays, bvh, state, jnp.uint32(b0),
-                                        b1 - b0)
-            if b1 < depth:
-                counts.append(state.alive.sum(dtype=jnp.int32))
+        # One rolled scan over all bounces, emitting the per-bounce alive
+        # counts (the full survival curve in one readback).
+        state, counts = colorer.bounce_scan_counted(
+            arrays, bvh, state, jnp.uint32(0), depth)
         rad = state.radiance.reshape(s_loc, n_loc, 3).sum(0)
         rad = jax.lax.psum(rad, AXIS_SPP)
-        cmax = jax.lax.pmax(jnp.stack(counts), (AXIS_SPP, AXIS_RAYS))
+        cmax = jax.lax.pmax(counts[:-1], (AXIS_SPP, AXIS_RAYS))
         return rad, cmax
 
     probe_jit = jax.jit(probe_block)
@@ -188,11 +183,13 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
             acc = state.radiance * 0.0  # device-varying zeros [n0_loc, 3]
             slots = jnp.arange(n0_loc, dtype=jnp.int32)
             over = state.alive[0] & ~state.alive[0]  # device-varying False
-            for i, (b0, b1) in enumerate(segments):
+            # schedule_groups merges no-shrink bounce runs into single
+            # rolled scans, so the block's graph holds O(#shrinks) bounce
+            # bodies, not O(depth).
+            for b0, b1, bucket in schedule_groups(sched, depth):
                 state = colorer.bounce_scan(arrays, bvh, state,
                                             jnp.uint32(b0), b1 - b0)
-                bucket = sched[i] if i < len(sched) else None
-                if b1 < depth and bucket is not None:
+                if bucket is not None:
                     state, slots, acc, o = compact_wavefront(
                         state, slots, acc, bucket)
                     over = over | o
@@ -225,13 +222,7 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
 
         rad, cmax = probe_jit(arrays, bvh, basis, pixel_ids, sample_ids,
                               seed)
-        counts = [int(c) for c in np.asarray(cmax)]
-        quantum = _bucket_quantum(n0_loc)
-        sched, cur = [], n0_loc
-        for c in counts:
-            b = _pick_bucket(max(c, 1), cur, quantum)
-            sched.append(b if b < cur else None)
-            cur = min(b, cur)
+        sched = schedule_from_counts(np.asarray(cmax), n0_loc)
         cache[key] = (tuple(sched), _make_scheduled(tuple(sched)))
         return np.asarray(rad)
 

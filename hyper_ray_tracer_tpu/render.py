@@ -153,10 +153,10 @@ class RenderSettings:
     preview_path: Optional[str] = None
     # Dead-ray compaction (None = auto: on for depth >= 6).  Path-traced
     # wavefronts thin out fast (final scene: 67% alive after bounce 1, 10%
-    # by bounce 6); at geometric bounce milestones the survivors are packed
-    # into the next power-of-two bucket so later bounces run on a fraction
-    # of the lanes.  Per-ray RNG streams make the result bit-identical to
-    # the fixed-shape scan.
+    # by bounce 6); after each bounce whose scheduled bucket shrinks, the
+    # survivors are packed so later bounces run on a fraction of the
+    # lanes.  Per-ray RNG streams make the result bit-identical to the
+    # fixed-shape scan.
     compaction: Optional[bool] = None
     # bf16 candidate hit tests with f32 winner re-verification (sweep mode
     # only; see make_ray_colorer).  Off by default: renders are no longer
@@ -351,6 +351,19 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
             body_fn, state, jnp.arange(n_bounces, dtype=jnp.uint32))
         return state
 
+    def bounce_scan_counted(arrays, bvh, state, bounce0, n_bounces):
+        """``bounce_scan`` that also emits the alive count after every
+        bounce ([n_bounces] int32): the counted/probe pass reads the whole
+        survival curve in ONE readback instead of syncing per bounce."""
+        def body(carry, i):
+            nxt = bounce_step(arrays, bvh, carry, bounce0 + i)
+            return nxt, nxt.alive.sum(dtype=jnp.int32)
+
+        body_fn = jax.checkpoint(body) if remat else body
+        state, counts = jax.lax.scan(
+            body_fn, state, jnp.arange(n_bounces, dtype=jnp.uint32))
+        return state, counts
+
     def ray_color(arrays, bvh, basis, pixel_ids, sample_ids, seed):
         state = init_state(basis, pixel_ids, sample_ids, seed)
         state = bounce_scan(arrays, bvh, state, jnp.uint32(0), depth)
@@ -359,6 +372,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     ray_color.init_state = init_state
     ray_color.bounce_step = bounce_step
     ray_color.bounce_scan = bounce_scan
+    ray_color.bounce_scan_counted = bounce_scan_counted
     return ray_color
 
 
@@ -401,10 +415,6 @@ def _gamma_image(acc: np.ndarray, samples: int, W: int, H: int) -> np.ndarray:
 
 
 _COMPACT_MIN_BUCKET = 16384
-# Bounce indices after which the wavefront may be compacted.  Geometric: each
-# host sync costs a device round-trip (~26 ms on the tunneled TPU), so syncs
-# must be O(log depth), not O(depth).
-_COMPACT_MILESTONES = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
 def _bucket_quantum(n0: int) -> int:
@@ -488,11 +498,50 @@ def compact_wavefront(state, slots, acc, bucket):
     return g, ipk[:, 1], acc, overflow
 
 
-def milestone_segments(depth: int):
-    """[(b0, b1)] bounce segments split at the compaction milestones."""
-    milestones = [m for m in _COMPACT_MILESTONES if m < depth]
-    bounds = [0] + milestones + [depth]
-    return list(zip(bounds[:-1], bounds[1:]))
+def schedule_groups(sched, depth: int):
+    """Group a per-bounce bucket schedule into dispatchable segments.
+
+    Round-1 spaced compaction geometrically (after bounces 1, 2, 4,
+    8, ...) because the host-driven path paid a ~26 ms count readback per
+    milestone.  The fixed schedule removed the syncs entirely, so
+    compaction is now considered after EVERY bounce — it actually runs
+    only where the scheduled bucket shrinks.
+
+    sched: [depth-1] entries, ``sched[b]`` = bucket to compact to after
+    bounce ``b`` (None = no compaction).  Returns [(b0, b1, bucket)]:
+    run bounces [b0, b1) at one static shape, then compact to ``bucket``
+    (None on the final group).  Merging the no-compaction runs keeps one
+    rolled ``lax.scan`` body per group — dispatch count and compiled
+    graph size stay O(#shrinks), not O(depth); the deep tail sits at the
+    minimum bucket and never pays a compaction."""
+    groups = []
+    b0 = 0
+    while b0 < depth:
+        b1 = b0 + 1
+        while b1 < depth and (b1 - 1 >= len(sched)
+                              or sched[b1 - 1] is None):
+            b1 += 1
+        bucket = sched[b1 - 1] if b1 < depth else None
+        groups.append((b0, b1, bucket))
+        b0 = b1
+    return groups
+
+
+def schedule_from_counts(counts, n0: int):
+    """Per-bounce bucket schedule from a measured survival curve.
+
+    counts: alive count after each bounce (len depth-1 — no compaction
+    after the final bounce).  Returns [bucket-or-None per bounce].  A
+    fully-dead tail floors at the minimum bucket rather than aborting:
+    the schedule stays valid for seeds where more rays survive, and
+    overflow detection catches the opposite drift."""
+    quantum = _bucket_quantum(n0)
+    sched, cur = [], n0
+    for c in counts:
+        b = _pick_bucket(max(int(c), 1), cur, quantum)
+        sched.append(b if b < cur else None)
+        cur = min(b, cur)
+    return sched
 
 
 def _pick_bucket(n_alive: int, cur: int, quantum: int) -> int:
@@ -508,7 +557,18 @@ def _pick_bucket(n_alive: int, cur: int, quantum: int) -> int:
     b = _next_bucket(n_alive, cur, quantum)
     if b < cur and b - n_alive < max(64, n_alive // 25):
         b = min(b + quantum, cur)
-    return b
+    # Below the launch-size quantum, fall to power-of-two buckets (same
+    # head-room rule, floored at the minimum bucket): the quantum is
+    # ~1/16 of the launch size, so without this a depth-50 tail would
+    # run every deep bounce 4-8x oversized.  Adds at most
+    # log2(quantum/min_bucket) ~ 3 extra compiled shapes.
+    need = n_alive + max(64, n_alive // 25)
+    if need <= quantum:
+        p = _COMPACT_MIN_BUCKET
+        while p < need:
+            p *= 2
+        b = min(b, p)
+    return min(b, cur)
 
 
 def make_compacting_renderer(scene: Scene, width: int, height: int,
@@ -535,7 +595,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
 
     flush_jit = jax.jit(flush_wavefront)
     compact_jit = jax.jit(compact_wavefront, static_argnums=(3,))
-    count_jit = jax.jit(lambda alive: alive.sum(dtype=jnp.int32))
+    counted_jit = jax.jit(colorer.bounce_scan_counted, static_argnums=(4,))
     reduce_jit = jax.jit(
         lambda acc, spp: acc.reshape(spp, -1, 3).sum(0), static_argnums=(1,))
     # Ray ids are generated ON DEVICE from (perm, sample0): shipping
@@ -552,7 +612,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         static_argnums=(3,),
     )
 
-    # Bucket schedule cache: n0 -> [bucket-or-None per milestone].
+    # Bucket schedule cache: n0 -> [bucket-or-None per bounce].
     # Recorded by the first (counted) pass with head-room; scheduled
     # passes then run the whole bounce chain with ZERO host syncs — each
     # count readback costs a ~26 ms round trip AND idles the device
@@ -561,42 +621,24 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     schedules: dict = {}
 
     def _run_counted(arrays, bvh, state, acc, slots, n0):
-        """Dynamic path: reads alive counts (one sync per milestone),
-        compacts to measured buckets, records the schedule (or None if the
-        wavefront died early — then every pass stays counted)."""
-        quantum = _bucket_quantum(n0)
-        cur = n0
-        sched = []
-        complete = True
-        for b0, b1 in milestone_segments(depth):
-            state = scan_jit(arrays, bvh, state, jnp.uint32(b0), b1 - b0)
-            if b1 >= depth:
-                break
-            n_alive = int(count_jit(state.alive))
-            if n_alive == 0:
-                complete = False
-                break
-            bucket = _pick_bucket(n_alive, cur, quantum)
-            if bucket < cur:
-                state, slots, acc, _ = compact_jit(state, slots, acc,
-                                                   bucket)
-                cur = bucket
-                sched.append(bucket)
-            else:
-                sched.append(None)
+        """Probe path: one full-shape (uncompacted) pass that emits the
+        whole per-bounce survival curve, read back in a single sync.  Its
+        render is valid (identical to the fixed scan); the curve becomes
+        the per-bounce bucket schedule every later pass runs sync-free."""
+        state, counts = counted_jit(arrays, bvh, state, jnp.uint32(0),
+                                    depth)
         acc = flush_jit(acc, slots, state)
-        return acc, (sched if complete else None)
+        sched = schedule_from_counts(np.asarray(counts)[:-1], n0)
+        return acc, sched
 
     def _run_scheduled(arrays, bvh, state, acc, slots, sched):
         """Sync-free path: every dispatch is enqueued back-to-back; the
-        device-side ``over`` flag records whether any milestone's alive
+        device-side ``over`` flag records whether any bounce's alive
         count exceeded its scheduled bucket."""
         over = None
-        segs = milestone_segments(depth)
-        for i, (b0, b1) in enumerate(segs):
+        for b0, b1, bucket in schedule_groups(sched, depth):
             state = scan_jit(arrays, bvh, state, jnp.uint32(b0), b1 - b0)
-            bucket = sched[i] if i < len(sched) else None
-            if b1 < depth and bucket is not None:
+            if bucket is not None:
                 state, slots, acc, o = compact_jit(state, slots, acc,
                                                    bucket)
                 over = o if over is None else (over | o)
