@@ -152,64 +152,120 @@ class ShadeFields(NamedTuple):
     scale: np.ndarray  # [B] (noise)
 
 
-def pack_prim_shade(arrays, xp):
-    """``pack_prim`` plus a [P]-sized star-join of material/texture rows.
+def shade_pack_layout(static):
+    """[(field, width)] float columns of the joined shade pack, specialised
+    by the scene's static flags: a field no consumer can touch under this
+    specialisation is not packed, not gathered, and comes back ``None``
+    (so an unguarded access fails loudly instead of reading garbage).
+    The final scene drops rot/trans/color2 — 15 of 34 float columns of
+    winner-gather bandwidth."""
+    from ..models.scene import MT_DIELECTRIC, MT_METAL
+
+    mats = set(static.mat_types)
+    cols = [("p0", 3), ("p1", 3), ("radius", 1)]
+    if static.has_motion:
+        cols += [("time0", 1), ("time1", 1)]
+    if static.has_media:
+        cols += [("neg_inv_density", 1)]
+    if static.has_ray_xform:
+        cols += [("rot", 9), ("trans", 3)]
+    if MT_METAL in mats:
+        cols += [("fuzz", 1), ("albedo", 3)]
+    if MT_DIELECTRIC in mats:
+        cols += [("ior", 1)]
+    cols += [("color1", 3)]
+    if static.has_checker_tex:
+        cols += [("color2", 3)]
+    if static.has_noise_tex:
+        cols += [("scale", 1)]
+    return cols
+
+
+def pack_prim_shade(arrays, static, xp):
+    """Flag-specialised prim pack plus a [P]-sized star-join of
+    material/texture rows.
 
     Measured on TPU v5e (tools/prof_bounce2.py, 1.44M-ray final scene):
     the shade phase's four separate table gathers (materials x2,
     textures x2) dominate its +43 ms in-bounce cost, while widening the
     single winner row gather is comparatively free.  Every
-    material/texture field a bounce can need is therefore joined into the
-    primitive pack — the join runs over [P]-sized arrays and is hoisted
-    out of the bounce scan by XLA — so ONE row gather per bounce fetches
-    geometry, material, and texture together.  Float columns 22:34, int
-    columns 4:7 extend the ``pack_prim`` layout.
-    """
+    material/texture field a bounce can need under this scene's
+    specialisation is therefore joined into the primitive pack — the join
+    runs over [P]-sized arrays and is hoisted out of the bounce scan by
+    XLA — so ONE row gather per bounce fetches geometry, material, and
+    texture together.  Column layout: ``shade_pack_layout(static)``
+    floats + 7 fixed ints."""
     geom = arrays.geom
     mats, texs = arrays.materials, arrays.textures
-    fpack, ipack = pack_prim(geom, xp)
     m = geom.material
     t = mats.texture[m]
+    src = {
+        "p0": geom.p0,
+        "p1": geom.p1,
+        "radius": geom.radius[:, None],
+        "time0": geom.time0[:, None],
+        "time1": geom.time1[:, None],
+        "neg_inv_density": geom.neg_inv_density[:, None],
+        "rot": geom.rot.reshape(-1, 9),
+        "trans": geom.trans,
+        "fuzz": mats.fuzz[m][:, None],
+        "albedo": mats.albedo[m],
+        "ior": mats.ior[m][:, None],
+        "color1": texs.color1[t],
+        "color2": texs.color2[t],
+        "scale": texs.scale[t][:, None],
+    }
     f = xp.concatenate(
-        [
-            fpack,
-            mats.fuzz[m][:, None],
-            mats.ior[m][:, None],
-            mats.albedo[m],
-            texs.color1[t],
-            texs.color2[t],
-            texs.scale[t][:, None],
-        ],
-        axis=-1,
+        [src[name] for name, _ in shade_pack_layout(static)], axis=-1
     )
-    i = xp.concatenate(
-        [
-            ipack,
-            xp.stack(
-                [mats.mtype[m], texs.ttype[t], texs.image_id[t]], axis=-1
-            ),
-        ],
+    i = xp.stack(
+        [geom.ptype, geom.stable_id, geom.material, geom.axis,
+         mats.mtype[m], texs.ttype[t], texs.image_id[t]],
         axis=-1,
     )
     return f, i
 
 
-def gather_prim_shade_packed(fpack, ipack, idx):
-    """Row-gather the joined pack: (PrimFields, material_idx, ShadeFields)."""
+def gather_prim_shade_packed(fpack, ipack, idx, static):
+    """Row-gather the joined pack: (PrimFields, material_idx, ShadeFields).
+
+    Fields absent from this scene's ``shade_pack_layout`` come back
+    ``None``."""
     g = fpack[idx]
     gi = ipack[idx]
+    vals = {}
+    off = 0
+    for name, w in shade_pack_layout(static):
+        vals[name] = g[..., off] if w == 1 else g[..., off:off + w]
+        off += w
+    rot = vals.get("rot")
+    if rot is not None:
+        rot = rot.reshape(*g.shape[:-1], 3, 3)
+    pf = PrimFields(
+        ptype=gi[..., 0],
+        stable_id=gi[..., 1],
+        p0=vals["p0"],
+        p1=vals["p1"],
+        radius=vals["radius"],
+        axis=gi[..., 3],
+        time0=vals.get("time0"),
+        time1=vals.get("time1"),
+        neg_inv_density=vals.get("neg_inv_density"),
+        rot=rot,
+        trans=vals.get("trans"),
+    )
     sf = ShadeFields(
         mtype=gi[..., 4],
         ttype=gi[..., 5],
         image_id=gi[..., 6],
-        fuzz=g[..., 22],
-        ior=g[..., 23],
-        albedo=g[..., 24:27],
-        color1=g[..., 27:30],
-        color2=g[..., 30:33],
-        scale=g[..., 33],
+        fuzz=vals.get("fuzz"),
+        ior=vals.get("ior"),
+        albedo=vals.get("albedo"),
+        color1=vals["color1"],
+        color2=vals.get("color2"),
+        scale=vals.get("scale"),
     )
-    return _unpack_prim(g, gi), gi[..., 2], sf
+    return pf, gi[..., 2], sf
 
 
 def _dot(a, b):

@@ -304,8 +304,9 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         # more table gathers saved, ~43 ms/bounce measured).  The pack
         # itself is [P]-sized and loop-invariant; XLA hoists it out of the
         # bounce scan.
-        fpack, ipack = pack_prim_shade(arrays, jnp)
-        pf, mat_idx, sfields = gather_prim_shade_packed(fpack, ipack, pidx)
+        fpack, ipack = pack_prim_shade(arrays, static, jnp)
+        pf, mat_idx, sfields = gather_prim_shade_packed(fpack, ipack, pidx,
+                                                        static)
         if differentiable or bf16_hits:
             # Differentiable recompute of the winning hit distance: for the
             # winner the same closed form evaluates to the traversal's t

@@ -167,8 +167,9 @@ def test_isotropic_in_unit_ball():
 def test_joined_pack_matches_table_gathers():
     """shade(sf=...) via the star-joined pack must equal the gather path.
 
-    Builds a scene exercising every material AND texture lane (checker,
-    noise, image included), then shades a mixed wavefront both ways.
+    'final' exercises noise + image textures and all 5 materials;
+    'random' adds the checker lane (color2 is packed only there — the
+    flag-specialised layout drops it elsewhere).
     """
     from hyper_ray_tracer_tpu.models.builders import build_scene
     from hyper_ray_tracer_tpu.ops.intersect import (
@@ -176,21 +177,23 @@ def test_joined_pack_matches_table_gathers():
         pack_prim_shade,
     )
 
-    scene = build_scene("final")  # all 5 materials + 3 texture kinds
-    arrays, static = scene.arrays, scene.static
-    P = int(arrays.geom.ptype.shape[0])
-    n = 512
-    rs = np.random.RandomState(7)
-    pidx = rs.randint(0, P, size=n).astype(np.int32)
-    det = _hit(n, u=0.3, v=0.6, point=(120.0, 260.0, 250.0))
-    bb = _bases(n)
-    d_in = np.tile(np.float32([0.3, -0.8, 0.5]), (n, 1))
+    for scene_name in ("final", "random"):
+        scene = build_scene(scene_name)
+        arrays, static = scene.arrays, scene.static
+        P = int(arrays.geom.ptype.shape[0])
+        n = 512
+        rs = np.random.RandomState(7)
+        pidx = rs.randint(0, P, size=n).astype(np.int32)
+        det = _hit(n, u=0.3, v=0.6, point=(120.0, 260.0, 250.0))
+        bb = _bases(n)
+        d_in = np.tile(np.float32([0.3, -0.8, 0.5]), (n, 1))
 
-    fpack, ipack = pack_prim_shade(arrays, np)
-    _, mat_idx, sf = gather_prim_shade_packed(fpack, ipack, pidx)
-    assert (mat_idx == arrays.geom.material[pidx]).all()
+        fpack, ipack = pack_prim_shade(arrays, static, np)
+        _, mat_idx, sf = gather_prim_shade_packed(fpack, ipack, pidx,
+                                                  static)
+        assert (mat_idx == arrays.geom.material[pidx]).all()
 
-    a = shade(arrays, mat_idx, det, d_in, bb, static, np)
-    b = shade(arrays, mat_idx, det, d_in, bb, static, np, sf=sf)
-    for x, y in zip(a, b):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        a = shade(arrays, mat_idx, det, d_in, bb, static, np)
+        b = shade(arrays, mat_idx, det, d_in, bb, static, np, sf=sf)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

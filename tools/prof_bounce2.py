@@ -95,15 +95,17 @@ def main():
             t_use = jnp.where(hit, t_hit, 1.0)
             if point == "trace":
                 return t_use.sum() + radiance.sum()
-            fpack, ipack = pack_prim_shade(arrays, jnp)
+            fpack, ipack = pack_prim_shade(arrays, static, jnp)
             pf, mat_idx, sfields = gather_prim_shade_packed(fpack, ipack,
-                                                            pidx)
+                                                            pidx, static)
             if point == "gather":
                 return (t_use.sum() + radiance.sum()
-                        + sum(x.sum() for x in pf._asdict().values())
+                        + sum(x.sum() for x in pf._asdict().values()
+                              if x is not None)
                         + mat_idx.sum()
                         + sum(x.sum(dtype=jnp.float32)
-                              for x in sfields._asdict().values()))
+                              for x in sfields._asdict().values()
+                              if x is not None))
             det = detail_fn(pf, o, d, time_, t_use, jnp)
             if point == "detail":
                 return (radiance.sum() + det.point.sum() + det.normal.sum()
