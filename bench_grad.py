@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("height", nargs="?", type=int, default=112)
     ap.add_argument("spp", nargs="?", type=int, default=2)
     ap.add_argument("depth", nargs="?", type=int, default=8)
+    ap.add_argument("--compact", action="store_true",
+                    help="train through the scheduled compacted descent "
+                         "(one extra counted probe pass; gradients are "
+                         "bit-identical to the fixed scan)")
     a = ap.parse_args()
     scene_name = a.scene
     W, H, SPP, DEPTH = a.width, a.height, a.spp, a.depth
@@ -40,8 +44,6 @@ def main() -> int:
     scene = build_scene(scene_name)
     arrays, bvh, use_bvh = prepare_scene(scene)
     basis = make_basis(scene.camera, W, H)
-    init, step = make_train_step(scene, W, H, DEPTH, use_bvh,
-                                 remat=DEPTH > 16)
     arrays, bvh, basis = jax.device_put((arrays, bvh, basis))
 
     n_rays = W * H * SPP
@@ -51,6 +53,16 @@ def main() -> int:
     sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
                            (SPP, W * H))
     target = jnp.zeros((W * H, 3), jnp.float32)
+
+    sched = None
+    if a.compact:
+        from hyper_ray_tracer_tpu.train import measure_compact_schedule
+
+        sched = measure_compact_schedule(scene, W, H, DEPTH, use_bvh,
+                                         arrays, bvh, basis, pix, sam)
+        print(f"# compact schedule: {sched}", file=sys.stderr)
+    init, step = make_train_step(scene, W, H, DEPTH, use_bvh,
+                                 remat=DEPTH > 16, compact_sched=sched)
 
     state = init(arrays)
     step_jit = jax.jit(step)

@@ -69,9 +69,32 @@ class TrainState(NamedTuple):
     opt_state: tuple
 
 
+def measure_compact_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
+                             basis, pixel_ids, sample_ids, seed=0,
+                             leaf_size: int = 4):
+    """One counted (uncompacted) pass -> per-bounce bucket schedule tuple
+    for these launch shapes, for ``make_loss_fn(compact_sched=...)``.
+
+    Training can reuse the inference scheduler because compaction is a
+    pure permutation that drops only dead lanes: the compacted forward is
+    bit-identical, so its gradients equal the fixed-scan gradients."""
+    from .render import make_ray_colorer as _mrc
+    from .render import schedule_from_counts
+
+    colorer = _mrc(scene, W, H, depth, use_bvh, leaf_size,
+                   differentiable=False)
+    st = jax.jit(colorer.init_state)(
+        basis, pixel_ids.reshape(-1), sample_ids.reshape(-1),
+        jnp.uint32(seed))
+    _, counts = jax.jit(colorer.bounce_scan_counted, static_argnums=(4,))(
+        arrays, bvh, st, jnp.uint32(0), depth)
+    return tuple(schedule_from_counts(np.asarray(counts)[:-1],
+                                      int(np.prod(pixel_ids.shape))))
+
+
 def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
                  use_bvh: bool, leaf_size: int = 4, remat: bool = False,
-                 silhouette: bool = False):
+                 silhouette: bool = False, compact_sched=None):
     """loss(params, arrays, bvh, basis, pixel_ids, sample_ids, seed, target)
     = mean squared error between mean radiance and a target image
     ([W*H, 3], linear radiance, bottom-up rows).
@@ -79,7 +102,15 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
     ``silhouette=True`` adds the edge-sampled boundary term (ops/edges.py)
     so geometry gradients also see occlusion-boundary motion, not just the
     fixed-decision interior term.  Requires ``pixel_ids`` to cover the full
-    frame (the correction is a whole-image tangent)."""
+    frame (the correction is a whole-image tangent).
+
+    ``compact_sched`` (a ``measure_compact_schedule`` tuple) runs the
+    forward as the scheduled compacted descent instead of the fixed-depth
+    scan — the same dead-ray scheduler inference uses, inside one traced
+    function so ``jax.grad`` differentiates straight through the
+    compaction gathers (their VJPs are scatter-adds).  Radiance is
+    bit-identical to the fixed scan, so gradients match; the forward
+    drops the ~3x dead-lane work at depth >= 10."""
     ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
                                  remat=remat)
     if silhouette:
@@ -87,13 +118,40 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
 
         correction = make_silhouette_correction(scene, W, H, depth, use_bvh,
                                                 leaf_size)
+    if compact_sched is not None:
+        from .render import (
+            compact_wavefront,
+            flush_wavefront,
+            schedule_groups,
+        )
+
+        groups = schedule_groups(list(compact_sched), depth)
+
+        def render(arrays, bvh, basis, pixel_ids, sample_ids, seed):
+            n0 = pixel_ids.shape[0]
+            state = ray_color.init_state(basis, pixel_ids, sample_ids,
+                                         seed)
+            acc = state.radiance * 0.0
+            slots = jnp.arange(n0, dtype=jnp.int32)
+            for b0, b1, bucket in groups:
+                state = ray_color.bounce_scan(arrays, bvh, state,
+                                              jnp.uint32(b0), b1 - b0)
+                if bucket is not None:
+                    state, slots, acc, _ = compact_wavefront(
+                        state, slots, acc, bucket)
+            return flush_wavefront(acc, slots, state)
+
+    else:
+        def render(arrays, bvh, basis, pixel_ids, sample_ids, seed):
+            return ray_color(arrays, bvh, basis, pixel_ids, sample_ids,
+                             seed)
 
     def loss_fn(params, arrays, bvh, basis, pixel_ids, sample_ids, seed,
                 target):
         arrays = merge_params(arrays, params)
         s_blk = pixel_ids.shape[0]
-        rad = ray_color(arrays, bvh, basis, pixel_ids.reshape(-1),
-                        sample_ids.reshape(-1), seed)
+        rad = render(arrays, bvh, basis, pixel_ids.reshape(-1),
+                     sample_ids.reshape(-1), seed)
         mean_rad = rad.reshape(s_blk, W * H, 3).mean(0)
         if silhouette:
             mean_rad = mean_rad + correction(arrays, bvh, basis, seed)
@@ -105,12 +163,13 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
 def make_train_step(scene: Scene, W: int, H: int, depth: int,
                     use_bvh: bool, leaf_size: int = 4,
                     learning_rate: float = 1e-2, remat: bool = False,
-                    silhouette: bool = False):
+                    silhouette: bool = False, compact_sched=None):
     """One adam step of inverse rendering.  Fully jittable; under a sharded
     jit the scene-parameter gradients are psum-reduced across the mesh by
     autodiff (replicated params, sharded rays)."""
     loss_fn = make_loss_fn(scene, W, H, depth, use_bvh, leaf_size,
-                           remat=remat, silhouette=silhouette)
+                           remat=remat, silhouette=silhouette,
+                           compact_sched=compact_sched)
     optimizer = optax.adam(learning_rate)
 
     def init(arrays) -> TrainState:

@@ -205,6 +205,49 @@ def test_remat_gradients_match():
                                    atol=1e-7)
 
 
+def test_compacted_gradients_match(monkeypatch):
+    """Training through the scheduled compacted descent must reproduce the
+    fixed-scan loss AND its gradients (compaction is a permutation that
+    drops only dead lanes)."""
+    import jax.numpy as jnp
+
+    import hyper_ray_tracer_tpu.render as R
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.render import prepare_scene
+    from hyper_ray_tracer_tpu.train import (
+        extract_params,
+        make_loss_fn,
+        measure_compact_schedule,
+    )
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 32)
+    scene = build_scene("final")  # media + every material lane
+    depth = 8
+    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh = jax.device_put((arrays, bvh))
+    basis = make_basis(scene.camera, W, H)
+    params = extract_params(arrays)
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
+    sam = jnp.zeros((SPP, W * H), jnp.int32)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    args = (arrays, bvh, basis, pix, sam, np.uint32(0), target)
+
+    sched = measure_compact_schedule(scene, W, H, depth, use_bvh, arrays,
+                                     bvh, basis, pix, sam)
+    assert any(b is not None for b in sched), "schedule never compacts"
+
+    plain = jax.jit(jax.value_and_grad(
+        make_loss_fn(scene, W, H, depth, use_bvh)))
+    compact = jax.jit(jax.value_and_grad(
+        make_loss_fn(scene, W, H, depth, use_bvh, compact_sched=sched)))
+    l_a, g_a = plain(params, *args)
+    l_b, g_b = compact(params, *args)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_scaling_harness_runs():
     from hyper_ray_tracer_tpu.parallel.scaling import measure_scaling
 
