@@ -201,3 +201,50 @@ def test_train_step_runs_sharded(setup):
                         jax.tree.leaves(new_state.params))
     )
     assert moved
+
+
+def test_compacted_loss_matches_unsharded(setup, monkeypatch):
+    """The scheduled-compaction training forward (train.make_loss_fn with
+    compact_sched) must be mesh-invariant too: same loss and gradients as
+    the unsharded fixed-depth scan.  Under GSPMD the global cumsum-pack
+    spans the sharded lane axis — XLA inserts the collectives; correctness
+    may not depend on them."""
+    import hyper_ray_tracer_tpu.render as R
+    from hyper_ray_tracer_tpu.train import (
+        extract_params,
+        measure_compact_schedule,
+    )
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 16)
+    scene, arrays, bvh, use_bvh, basis, _ = setup
+    params = extract_params(arrays)
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
+    sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
+                           (SPP, W * H))
+    target = jnp.zeros((W * H, 3), jnp.float32)
+
+    sched = measure_compact_schedule(scene, W, H, DEPTH, use_bvh, arrays,
+                                     bvh, basis, pix, sam)
+    assert any(b is not None for b in sched), "schedule never compacts"
+
+    plain = jax.jit(jax.value_and_grad(
+        make_loss_fn(scene, W, H, DEPTH, use_bvh)))
+    compact = jax.jit(jax.value_and_grad(
+        make_loss_fn(scene, W, H, DEPTH, use_bvh, compact_sched=sched)))
+    l_ref, g_ref = plain(params, arrays, bvh, basis, pix, sam,
+                         np.uint32(0), target)
+
+    mesh = make_render_mesh(4, 2)
+    idsh = NamedSharding(mesh, P(AXIS_SPP, AXIS_RAYS))
+    repl = NamedSharding(mesh, P())
+    l_sh, g_sh = compact(
+        jax.device_put(params, repl), jax.device_put(arrays, repl),
+        jax.device_put(bvh, repl), jax.device_put(basis, repl),
+        jax.device_put(pix, idsh), jax.device_put(sam, idsh),
+        np.uint32(0),
+        jax.device_put(target, NamedSharding(mesh, P(AXIS_RAYS))),
+    )
+    np.testing.assert_allclose(float(l_ref), float(l_sh), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
