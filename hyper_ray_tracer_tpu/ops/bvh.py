@@ -156,11 +156,13 @@ def type_runs(host_geom, n_prims: int):
     return runs
 
 
-def _tile_plan(host_geom, n_prims: int, max_tile: int):
+def _tile_plan(host_geom, n_prims: int, max_tile: int, cuts=()):
     """Chunk the maximal type runs to ``max_tile`` for the unrolled sweep.
 
     Each tile compiles only one type's (and for rects one axis's)
     intersection math, and run-exact widths replace padding.
+    ``cuts``: extra primitive indices tiles must not straddle (partition
+    group boundaries — a tile belongs to at most one group).
 
     Returns [(start, width, types, motion, xform, rect_axis)] covering
     [0, n_prims).
@@ -176,19 +178,22 @@ def _tile_plan(host_geom, n_prims: int, max_tile: int):
         has_xf = (np.any(rot != eye, axis=(1, 2))
                   | np.any(trans != 0, axis=1))
         moving = (pt[a:b] == PT_SPHERE) & np.any(p0 != p1, axis=-1)
-        for s in range(a, b, max_tile):
-            w = min(max_tile, b - s)
-            sl = slice(s - a, s - a + w)
-            plan.append((
-                s, w, types,
-                bool(moving[sl].any()),
-                bool(has_xf[sl].any()),
-                rect_axis,
-            ))
+        bounds = sorted({a, b} | {c for c in cuts if a < c < b})
+        for a2, b2 in zip(bounds[:-1], bounds[1:]):
+            for s in range(a2, b2, max_tile):
+                w = min(max_tile, b2 - s)
+                sl = slice(s - a, s - a + w)
+                plan.append((
+                    s, w, types,
+                    bool(moving[sl].any()),
+                    bool(has_xf[sl].any()),
+                    rect_axis,
+                ))
     return plan
 
 
-def make_scan_intersector(static, host_geom=None, bf16=False):
+def make_scan_intersector(static, host_geom=None, bf16=False,
+                          part_groups=()):
     """``host_geom``: the NumPy geometry the runtime arrays will follow
     (same primitive order!).  When given, the tile loop is unrolled at trace
     time and each tile's intersection math is specialised to the primitive
@@ -198,7 +203,21 @@ def make_scan_intersector(static, host_geom=None, bf16=False):
     tiles in bfloat16 (see the module-top bf16 notes — rects measured
     unviable; requires the planned path, i.e. ``host_geom``).  The returned
     t is always f32; the caller must re-verify the winner's t in f32
-    (render.py does)."""
+    (render.py does).
+
+    ``part_groups`` (ops.partition.PartGroup tuple, planned path only):
+    enables the partitioned call form ``scan_all(..., rows=...)`` where
+    ``rows`` is a static per-group tuple of lane ranges — tiles belonging
+    to a group fold only over that group's lane ranges (the wavefront was
+    ordered by group overlap at the last compaction), every other tile
+    folds over all lanes.  Fold order stays plan order per lane, so
+    tie-break *policy* matches the full sweep.  NOT bit-identical to the
+    full sweep, though: the same hit math compiled over sliced lane
+    shapes picks different fp contractions (measured ~1 ulp of candidate
+    t on CPU), and on a near-tie one flipped winner sends that sample
+    down a different (equally valid) path.  Same statistical contract as
+    the bf16 mode, at a far smaller scale (~0.1% of samples at 4 spp on
+    the final scene); tests/test_partition.py bounds the image drift."""
     n_prims = static.n_prims
     tile = _scan_tile(n_prims)
     n_tiles = -(-n_prims // tile)
@@ -213,7 +232,8 @@ def make_scan_intersector(static, host_geom=None, bf16=False):
     # epilogue, not the dot products, is the roofline here.
     plan = None
     if host_geom is not None:
-        raw = _tile_plan(host_geom, n_prims, SCAN_TILE)
+        cuts = tuple(c for g in part_groups for c in (g.start, g.end))
+        raw = _tile_plan(host_geom, n_prims, SCAN_TILE, cuts)
         if len(raw) <= MAX_PLAN_TILES:
             plan = []
             for s, w, types, motion, xform, rect_axis in raw:
@@ -237,7 +257,9 @@ def make_scan_intersector(static, host_geom=None, bf16=False):
     use_bf16 = bf16 and plan is not None and any(
         e[3] is not None for e in plan)
 
-    def scan_all(geom, o, d, time, t_min, ray_bits, active):
+    def scan_all(geom, o, d, time, t_min, ray_bits, active, rows=None):
+        if rows is not None and plan is None:
+            raise ValueError("partitioned sweep requires the planned path")
         if plan is None and p_pad != n_prims:
             # Uniform-tile fallback pads to a whole number of tiles; the
             # planned path uses run-exact widths and needs no padding.
@@ -301,12 +323,56 @@ def make_scan_intersector(static, host_geom=None, bf16=False):
             return (jnp.where(upd, tt, t_best),
                     jnp.where(upd, start + j, best))
 
+        def _splice(full, seg, r0, r1):
+            parts = []
+            if r0 > 0:
+                parts.append(full[:r0])
+            parts.append(seg)
+            if r1 < full.shape[0]:
+                parts.append(full[r1:])
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+        def tile_step_ranged(start, width, t_best, best, hit_fn, bf_fn,
+                             ranges):
+            """Fold one tile over static lane ranges only.  Lanes outside
+            the ranges were proven (conservative AABB test at compaction,
+            ops/partition.py) unable to hit any primitive in this tile's
+            group, so skipping them cannot change any lane's winner."""
+            pf = tile_slice(start, width)
+            for r0, r1 in ranges:
+                seg_t = t_best[r0:r1]
+                seg_b = best[r0:r1]
+                if use_bf16 and bf_fn is not None:
+                    t16 = bf_fn(pf, o_b[r0:r1], d16[r0:r1], a16[r0:r1],
+                                inv_a16[r0:r1], t_min16,
+                                seg_t.astype(_BF)[:, None])
+                    j = jnp.argmin(t16, axis=1).astype(jnp.int32)
+                    tt = jnp.min(t16, axis=1).astype(jnp.float32)
+                else:
+                    t = hit_fn(pf, o_b[r0:r1], d_b[r0:r1], time_b[r0:r1],
+                               t_min, seg_t[:, None], bits_b[r0:r1], jnp)
+                    j = jnp.argmin(t, axis=1).astype(jnp.int32)
+                    tt = jnp.min(t, axis=1)
+                upd = tt < seg_t
+                t_best = _splice(t_best, jnp.where(upd, tt, seg_t), r0, r1)
+                best = _splice(best, jnp.where(upd, start + j, seg_b),
+                               r0, r1)
+            return t_best, best
+
         if plan is not None:
             # Unrolled: each run-aligned tile gets its own specialised
             # intersection code (see _tile_plan).
+            from .partition import rows_for_tile
+
             t_best, best = t0, best0
             for start, width, hit_fn, bf_fn in plan:
-                if use_bf16 and bf_fn is not None:
+                ranges = (rows_for_tile(part_groups, rows, start)
+                          if rows is not None else None)
+                if ranges is not None:
+                    t_best, best = tile_step_ranged(start, width, t_best,
+                                                    best, hit_fn, bf_fn,
+                                                    ranges)
+                elif use_bf16 and bf_fn is not None:
                     t_best, best = tile_step_bf16(start, width, t_best,
                                                   best, bf_fn)
                 else:
@@ -378,23 +444,29 @@ def make_bvh_traverser(static, leaf_size: int):
 
 
 def make_intersector(static, *, use_bvh: bool, leaf_size: int = 4,
-                     host_geom=None, bf16=False):
+                     host_geom=None, bf16=False, part_groups=()):
     """Unified interface: trace(geom, bvh, o, d, time, t_min, ray_bits,
-    active) -> (t, prim).
+    active, rows=None) -> (t, prim).
 
     ``host_geom`` (scan path only): NumPy geometry in the runtime primitive
     order, enabling per-tile type specialisation of the dense sweep.
-    ``bf16`` (scan path only): bf16 candidate hit tests (module-top notes)."""
+    ``bf16`` (scan path only): bf16 candidate hit tests (module-top notes).
+    ``part_groups`` (scan path only): enables the ``rows`` argument — the
+    statically-ranged partitioned sweep (make_scan_intersector)."""
     if use_bvh:
         trav = make_bvh_traverser(static, leaf_size)
 
-        def trace(geom, bvh, o, d, time, t_min, ray_bits, active):
+        def trace(geom, bvh, o, d, time, t_min, ray_bits, active,
+                  rows=None):
+            assert rows is None, "BVH traversal has no partitioned form"
             return trav(bvh, geom, o, d, time, t_min, ray_bits, active)
 
     else:
-        scan = make_scan_intersector(static, host_geom, bf16=bf16)
+        scan = make_scan_intersector(static, host_geom, bf16=bf16,
+                                     part_groups=part_groups)
 
-        def trace(geom, bvh, o, d, time, t_min, ray_bits, active):
-            return scan(geom, o, d, time, t_min, ray_bits, active)
+        def trace(geom, bvh, o, d, time, t_min, ray_bits, active,
+                  rows=None):
+            return scan(geom, o, d, time, t_min, ray_bits, active, rows)
 
     return trace

@@ -36,8 +36,9 @@ import numpy as np
 from .camera import get_rays, make_basis
 from .models.bvh_build import build_bvh
 from .models.scene import Scene
-from .ops import rng as prng
+from .ops import partition, rng as prng
 from .ops.bvh import make_intersector
+from .ops.partition import partition_groups
 from .ops.intersect import (
     BIG,
     gather_prim_shade_packed,
@@ -163,6 +164,14 @@ class RenderSettings:
     # bit-identical to f32 (selection noise), and the measured end-to-end
     # win is modest (DESIGN.md §10).
     bf16_hits: bool = False
+    # Partitioned sweep (ops/partition.py): order surviving lanes by
+    # primitive-group AABB overlap at each compaction so group tiles fold
+    # over static lane prefixes only.  On by default — it only engages on
+    # scenes with cullable groups AND wavefronts >= PART_MIN_LANES, and
+    # agrees with the plain sweep statistically (ulp-level candidate-t
+    # contraction noise can flip near-tie winners; see
+    # make_scan_intersector).  Set False to force the exact plain sweep.
+    partition: bool = True
 
 
 class WavefrontState(NamedTuple):
@@ -220,16 +229,27 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         _, layout = build_clusters(scene.arrays.geom, static.n_prims)
         cluster_trace = make_cluster_intersector(static, layout)
 
-        def trace(geom, bvh, o, d, time, t_min, ray_bits, active):
+        def trace(geom, bvh, o, d, time, t_min, ray_bits, active,
+                  rows=None):
+            assert rows is None, "cluster mode has no partitioned form"
             return cluster_trace(geom, o, d, time, t_min, ray_bits, active)
 
+        part_groups = ()
     else:
         # Scan path: primitives keep the scene build order, so the
         # host-side arrays drive per-tile type specialisation of the sweep.
+        # Large spatially-compact runs become partition groups: the
+        # compacting renderer orders lanes by group-AABB overlap so the
+        # groups' sweep tiles fold only over lanes that can hit them
+        # (ops/partition.py; the measured 5-22% cloud overlap on the
+        # final scene makes this the dominant pair-count cut).
+        part_groups = (partition_groups(scene.arrays.geom, static.n_prims)
+                       if mode == "sweep" else ())
         trace = make_intersector(
             static, use_bvh=(mode == "bvh"), leaf_size=leaf_size,
             host_geom=scene.arrays.geom if mode == "sweep" else None,
-            bf16=(bf16_hits and mode == "sweep"))
+            bf16=(bf16_hits and mode == "sweep"),
+            part_groups=part_groups)
     bf16_hits = bf16_hits and mode == "sweep"
     prim_hit_t = make_prim_intersector(static)
     detail_fn = make_hit_detailer(static)
@@ -264,10 +284,15 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
             radiance=zero3,
         )
 
-    def bounce_step(arrays, bvh, state: WavefrontState, bounce_idx):
+    def bounce_step(arrays, bvh, state: WavefrontState, bounce_idx,
+                    rows=None):
         """One wavefront bounce; same math for the fixed-depth scan and the
         compacting renderer (rays carry their own RNG base and shutter
-        time, so the step is invariant to reordering/compaction)."""
+        time, so the step is invariant to reordering/compaction).
+
+        ``rows`` (static): partitioned-sweep lane ranges — valid only
+        immediately after a partitioned compaction laid the wavefront out
+        in group-overlap order (compact_wavefront_part)."""
         geom = arrays.geom
         o, d, time, base = state.o, state.d, state.time, state.base
         alive, throughput, radiance = (
@@ -279,9 +304,10 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         # This keeps the whole bounce reverse-mode differentiable (the
         # BVH while_loop has no VJP) and shrinks backward residuals from
         # O(P) per bounce to O(1).
+        #
         t_hit, prim = trace(
             geom, bvh, jax.lax.stop_gradient(o),
-            jax.lax.stop_gradient(d), time, T_MIN, bb, alive,
+            jax.lax.stop_gradient(d), time, T_MIN, bb, alive, rows,
         )
         t_hit = jax.lax.stop_gradient(t_hit)
         hit = prim >= 0
@@ -365,6 +391,39 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
             body_fn, state, jnp.arange(n_bounces, dtype=jnp.uint32))
         return state, counts
 
+    def _cat_counts(state):
+        """[C] alive count per partition-layout category (ops/partition)."""
+        cat = partition.lane_layout_cat(part_groups, state.o, state.d, jnp)
+        C = 1 << len(part_groups)
+        one_hot = (cat[:, None] == jnp.arange(C)[None, :]) \
+            & state.alive[:, None]
+        return one_hot.sum(0, dtype=jnp.int32)
+
+    def bounce_scan_rows(arrays, bvh, state, bounce0, n_bounces, rows):
+        """``bounce_scan`` whose FIRST bounce runs the partitioned sweep
+        (``rows`` valid only straight after a partitioned compaction —
+        later bounces scatter the lanes again, so the remainder of the
+        segment folds over all lanes)."""
+        state = bounce_step(arrays, bvh, state, bounce0, rows=rows)
+        if n_bounces > 1:
+            state = bounce_scan(arrays, bvh, state, bounce0 + 1,
+                                n_bounces - 1)
+        return state
+
+    def bounce_scan_counted_cats(arrays, bvh, state, bounce0, n_bounces):
+        """Probe for the PARTITIONED schedule: emits, after every bounce,
+        the per-category alive counts ([n_bounces, C], layout order) of
+        the *next* segment rays — exactly what compact_wavefront_part will
+        see at that milestone."""
+        def body(carry, i):
+            nxt = bounce_step(arrays, bvh, carry, bounce0 + i)
+            return nxt, _cat_counts(nxt)
+
+        body_fn = jax.checkpoint(body) if remat else body
+        state, counts = jax.lax.scan(
+            body_fn, state, jnp.arange(n_bounces, dtype=jnp.uint32))
+        return state, counts
+
     def ray_color(arrays, bvh, basis, pixel_ids, sample_ids, seed):
         state = init_state(basis, pixel_ids, sample_ids, seed)
         state = bounce_scan(arrays, bvh, state, jnp.uint32(0), depth)
@@ -374,6 +433,10 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     ray_color.bounce_step = bounce_step
     ray_color.bounce_scan = bounce_scan
     ray_color.bounce_scan_counted = bounce_scan_counted
+    ray_color.bounce_scan_rows = bounce_scan_rows
+    ray_color.bounce_scan_counted_cats = bounce_scan_counted_cats
+    ray_color.cat_counts = _cat_counts
+    ray_color.part_groups = part_groups
     return ray_color
 
 
@@ -513,6 +576,131 @@ def compact_wavefront(state, slots, acc, bucket):
     return g, ipk[:, 1], acc, overflow
 
 
+def flush_wavefront_drop(acc, slots, state):
+    """flush_wavefront for partitioned wavefronts: hole lanes carry
+    synthetic out-of-range slots (compact_wavefront_part), which
+    mode="drop" discards; real slots stay unique, so the collision-free
+    declaration remains honest."""
+    return acc.at[slots].add(state.radiance, mode="drop",
+                             unique_indices=True)
+
+
+def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
+                           groups):
+    """Partitioned compaction: alive lanes ordered by group-overlap
+    category, each category padded to its static bucket.
+
+    Layout (ops/partition.py): categories in descending-overlap-mask
+    order at static offsets ``cumsum(buckets)``; group 0's lanes form the
+    prefix, so the next bounce's partitioned sweep folds each group's
+    tiles over static lane ranges only (group_rows).  Dead lanes are
+    packed into a static ``drop_bucket`` region and their pending
+    radiance flushed — the same drop-only flush discipline as
+    compact_wavefront.
+
+    Bucket *padding* creates hole lanes: they replicate lane 0's ray
+    fields but carry alive=False, zero radiance, and a synthetic
+    out-of-range slot (n0 + position), so no scatter ever applies them
+    (mode="drop") and slot uniqueness holds for the fast-path scatters.
+
+    ``overflow`` is True when any ALIVE lane exceeded its category bucket
+    or the dead lanes exceeded ``drop_bucket`` — in either case radiance
+    was lost and the caller must discard the pass and re-probe (same
+    contract as compact_wavefront, extended to the drop region).
+
+    Like compact_wavefront this is a pure permutation of lane work:
+    per-lane RNG/radiance are position-independent and every lane's
+    radiance still lands in its own slot exactly once.  The permutation
+    itself is exactly value-preserving; what is NOT bit-identical is the
+    partitioned *sweep* that follows (see make_scan_intersector's
+    ``part_groups`` notes) — renders through this path agree with the
+    fixed scan statistically, not bitwise.
+    """
+    n = state.alive.shape[0]
+    n0 = acc.shape[0]
+    C = len(buckets)
+    offs = np.concatenate([[0], np.cumsum(buckets)]).astype(np.int64)
+    b_total = int(offs[-1])
+    alive = state.alive
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    catl = partition.lane_layout_cat(groups, state.o, state.d, jnp)
+    dest = jnp.full(n, b_total + drop_bucket, jnp.int32)  # default: lost
+    kept = jnp.zeros(n, bool)
+    n_cat = []
+    overflow = None
+    for p in range(C):
+        is_p = alive & (catl == p)
+        cum = jnp.cumsum(is_p)
+        rank = cum - 1
+        n_p = cum[-1]
+        n_cat.append(n_p)
+        ok = is_p & (rank < buckets[p])
+        dest = jnp.where(ok, np.int32(offs[p]) + rank, dest)
+        kept = kept | ok
+        o_p = n_p > buckets[p]
+        overflow = o_p if overflow is None else (overflow | o_p)
+    is_drop = ~kept
+    cum_d = jnp.cumsum(is_drop)
+    rank_d = cum_d - 1
+    n_drop = cum_d[-1]
+    ok_d = is_drop & (rank_d < drop_bucket)
+    dest = jnp.where(ok_d, np.int32(b_total) + rank_d, dest)
+    overflow = overflow | (n_drop > drop_bucket)
+
+    idx_full = (
+        jnp.zeros(b_total + drop_bucket, jnp.int32)
+        .at[dest]
+        .set(iota, mode="drop", unique_indices=True)
+    )
+    idx = idx_full[:b_total]
+    idx_drop = idx_full[b_total:]
+
+    # Hole detection at static category offsets: position p is a real
+    # lane iff its in-category index < that category's alive count.
+    local = jnp.asarray(
+        np.arange(b_total, dtype=np.int32)
+        - np.repeat(offs[:-1], buckets).astype(np.int32))
+    thresh = jnp.concatenate(
+        [jnp.broadcast_to(n_cat[p], (buckets[p],)) for p in range(C)
+         if buckets[p] > 0]) if b_total else jnp.zeros(0, jnp.int32)
+    valid = local < thresh
+
+    fpk = jnp.concatenate(
+        [state.o, state.d, state.time[:, None], state.throughput,
+         state.radiance],
+        axis=-1,
+    )[idx]
+    ipk = jnp.stack(
+        [jax.lax.bitcast_convert_type(state.base, jnp.int32), slots],
+        axis=-1,
+    )[idx]
+
+    # Drop-region flush.  Hole rows (beyond the actual drop count) gather
+    # lane 0; remap their slot to a unique out-of-range value so the
+    # scatter drops them without breaking the uniqueness promise.
+    valid_drop = jnp.arange(drop_bucket, dtype=jnp.int32) \
+        < jnp.minimum(n_drop, drop_bucket)
+    drop_slot = jnp.where(valid_drop, slots[idx_drop],
+                          n0 + n + jnp.arange(drop_bucket, dtype=jnp.int32))
+    acc = acc.at[drop_slot].add(state.radiance[idx_drop], mode="drop",
+                                unique_indices=True)
+
+    new_slots = jnp.where(
+        valid, ipk[:, 1],
+        n0 + jnp.arange(b_total, dtype=jnp.int32))
+    g = WavefrontState(
+        o=fpk[:, 0:3],
+        d=fpk[:, 3:6],
+        time=fpk[:, 6],
+        base=jax.lax.bitcast_convert_type(ipk[:, 0], jnp.uint32),
+        alive=valid,
+        throughput=fpk[:, 7:10],
+        radiance=jnp.where(valid[:, None], fpk[:, 10:13], 0.0),
+    )
+    return g, new_slots, acc, overflow
+
+
 def schedule_groups(sched, depth: int):
     """Group a per-bounce bucket schedule into dispatchable segments.
 
@@ -559,6 +747,92 @@ def schedule_from_counts(counts, n0: int):
     return sched
 
 
+def schedule_from_cat_counts(pre_counts, cat_counts, n0: int, groups,
+                             n_prims: int):
+    """Partitioned per-bounce schedule from the probe's per-category
+    survival counts (the partitioned analogue of schedule_from_counts).
+
+    pre_counts: [C] category counts of the CAMERA wavefront (enables the
+    bounce-0 pre-partition — one extra permutation that lets even the
+    first sweep skip group tiles for non-overlapping lanes).
+    cat_counts: [depth-1, C] counts after each bounce.
+
+    Returns (pre_entry, entries): entries[b] is None (no milestone after
+    bounce b), or (buckets, drop_bucket) for compact_wavefront_part —
+    len(buckets) == C partitions the wavefront; len(buckets) == 1 is the
+    plain shrink fallback in the same drop-region form.
+
+    A milestone partitions when the measured pair savings — each group's
+    primitive share weighted by the fraction of alive lanes *outside* its
+    rows — reach PART_SAVED_MIN, and the wavefront is big enough that
+    sweep savings beat the extra category cumsums (PART_MIN_LANES).
+    Scenes whose groups every ray overlaps (e.g. a ground-spanning grid)
+    fall back to plain compaction automatically.
+    """
+    C = len(pre_counts)
+    G = len(groups)
+    quantum = _bucket_quantum(n0)
+    catq = max(_COMPACT_MIN_BUCKET // 4, quantum // 8)
+    group_sizes = [g.end - g.start for g in groups]
+
+    def head(n):
+        return max(64, n // 25)
+
+    def rcat(n):
+        if n <= 0:
+            return 0
+        return -(-(n + head(n)) // catq) * catq
+
+    def saved_frac(counts):
+        tot = int(np.sum(counts))
+        if tot == 0:
+            return 0.0
+        s = 0.0
+        for i, gsz in enumerate(group_sizes):
+            in_rows = sum(int(counts[p]) for p in range(C)
+                          if ((C - 1 - p) >> (G - 1 - i)) & 1)
+            s += (gsz / n_prims) * (1.0 - in_rows / tot)
+        return s
+
+    def worth(counts, tot):
+        return (G > 0 and tot >= partition.PART_MIN_LANES
+                and saved_frac(counts) >= PART_SAVED_MIN)
+
+    pre = None
+    cur = n0
+    n_pre = int(np.sum(pre_counts))
+    if worth(pre_counts, n_pre):
+        buckets = tuple(rcat(int(c)) for c in pre_counts)
+        pre = (buckets, 0)  # camera wavefronts have no dead lanes yet
+        cur = sum(buckets)
+
+    entries = []
+    for counts in np.asarray(cat_counts):
+        tot = int(np.sum(counts))
+        if worth(counts, tot):
+            buckets = tuple(rcat(int(c)) for c in counts)
+            # Drop headroom scales with the ALIVE count: dead-count
+            # variance equals alive-count variance, and early bounces
+            # have few drops but large alive wavefronts.
+            db = -(-(max(cur - tot, 0) + head(tot)) // catq) * catq
+            entries.append((buckets, db))
+            cur = sum(buckets)
+        else:
+            b = _pick_bucket(max(tot, 1), cur, quantum)
+            if b < cur:
+                db = -(-(max(cur - tot, 0) + head(tot)) // catq) * catq
+                entries.append(((b,), db))
+                cur = b
+            else:
+                entries.append(None)
+    return pre, entries
+
+
+# Minimum measured pair-savings fraction for a partitioned milestone;
+# below this the category bookkeeping outweighs the skipped sweep tiles.
+PART_SAVED_MIN = 0.15
+
+
 def _pick_bucket(n_alive: int, cur: int, quantum: int) -> int:
     """Smallest bucket covering ``n_alive`` with >= ~4% head-room.
 
@@ -588,15 +862,25 @@ def _pick_bucket(n_alive: int, cur: int, quantum: int) -> int:
 
 def make_compacting_renderer(scene: Scene, width: int, height: int,
                              depth: int, use_bvh: bool, leaf_size: int = 4,
-                             bf16_hits: bool = False):
+                             bf16_hits: bool = False,
+                             partition_sweep: bool = True):
     """Wavefront renderer with dead-ray compaction between bounce chunks.
 
     Returns run(arrays, bvh, basis, perm, sample0, n_samples, seed) ->
     np.ndarray radiance (host-driven, returning NumPy; see ``run``'s
-    docstring for the launch layout).  Results are bit-identical to the
+    docstring for the launch layout).  With ``partition_sweep=False`` (or
+    on scenes without cullable groups) results are bit-identical to the
     fixed-shape scan: every ray carries its own (pixel, sample)-keyed RNG
     base and shutter time, so reordering lanes changes nothing; compaction
     only removes lanes that are already dead.
+
+    ``partition_sweep=True`` (default) additionally orders surviving lanes
+    by primitive-group AABB overlap at every milestone and runs each
+    group's sweep tiles over static lane ranges only (ops/partition.py) —
+    the dominant pair-count cut on group-heavy scenes.  Partitioned
+    renders agree with the fixed scan statistically rather than bitwise
+    (make_scan_intersector's part_groups notes); each run remains
+    deterministic for a given seed.
 
     The reference has no analogue (its tokio tiles always trace every pixel
     to full depth); this exploits the measured survival curve (final scene:
@@ -611,6 +895,31 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     flush_jit = jax.jit(flush_wavefront)
     compact_jit = jax.jit(compact_wavefront, static_argnums=(3,))
     counted_jit = jax.jit(colorer.bounce_scan_counted, static_argnums=(4,))
+
+    # Partitioned-sweep machinery (ops/partition.py): active when the
+    # scene has cullable primitive groups.  PartGroup holds ndarrays, so
+    # groups ride a closure rather than a static argnum; a 1-tuple of
+    # buckets selects the plain (single-category) layout.
+    part_groups = colorer.part_groups
+    use_part = len(part_groups) > 0 and partition_sweep
+
+    def _compact_part(state, slots, acc, buckets, drop_bucket):
+        gs = part_groups if len(buckets) > 1 else ()
+        return compact_wavefront_part(state, slots, acc, buckets,
+                                      drop_bucket, gs)
+
+    compact_part_jit = jax.jit(_compact_part, static_argnums=(3, 4))
+    scanrows_jit = jax.jit(colorer.bounce_scan_rows,
+                           static_argnums=(4, 5))
+    flush_drop_jit = jax.jit(flush_wavefront_drop)
+
+    def _counted_cats(arrays, bvh, state):
+        pre = colorer.cat_counts(state)
+        state, counts = colorer.bounce_scan_counted_cats(
+            arrays, bvh, state, jnp.uint32(0), depth)
+        return state, pre, counts
+
+    counted_cats_jit = jax.jit(_counted_cats)
     reduce_jit = jax.jit(
         lambda acc, spp: acc.reshape(spp, -1, 3).sum(0), static_argnums=(1,))
     # Ray ids are generated ON DEVICE from (perm, sample0): shipping
@@ -640,6 +949,13 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         whole per-bounce survival curve, read back in a single sync.  Its
         render is valid (identical to the fixed scan); the curve becomes
         the per-bounce bucket schedule every later pass runs sync-free."""
+        if use_part:
+            state, pre, counts = counted_cats_jit(arrays, bvh, state)
+            acc = flush_jit(acc, slots, state)
+            sched = schedule_from_cat_counts(
+                np.asarray(pre), np.asarray(counts)[:-1], n0, part_groups,
+                scene.static.n_prims)
+            return acc, sched
         state, counts = counted_jit(arrays, bvh, state, jnp.uint32(0),
                                     depth)
         acc = flush_jit(acc, slots, state)
@@ -650,6 +966,9 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         """Sync-free path: every dispatch is enqueued back-to-back; the
         device-side ``over`` flag records whether any bounce's alive
         count exceeded its scheduled bucket."""
+        if use_part:
+            return _run_scheduled_part(arrays, bvh, state, acc, slots,
+                                       sched)
         over = None
         for b0, b1, bucket in schedule_groups(sched, depth):
             state = scan_jit(arrays, bvh, state, jnp.uint32(b0), b1 - b0)
@@ -658,6 +977,41 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
                                                    bucket)
                 over = o if over is None else (over | o)
         acc = flush_jit(acc, slots, state)
+        return acc, over
+
+    def _run_scheduled_part(arrays, bvh, state, acc, slots, psched):
+        """Partitioned scheduled descent: the compaction permutation also
+        orders alive lanes by group-AABB overlap, and the first bounce of
+        every following segment sweeps each group's tiles over static lane
+        ranges only (bounce_scan_rows).  Still one sync-free dispatch
+        chain; overflow covers category AND drop-region overruns."""
+        pre, entries = psched
+        over = None
+        rows = None
+        if pre is not None:
+            state, slots, acc, over = compact_part_jit(
+                state, slots, acc, pre[0], pre[1])
+            rows = partition.group_rows(part_groups, pre[0])
+        b = 0
+        while b < depth:
+            j = b
+            while j < depth - 1 and entries[j] is None:
+                j += 1
+            nb = j - b + 1
+            if rows is not None:
+                state = scanrows_jit(arrays, bvh, state, jnp.uint32(b),
+                                     nb, rows)
+            else:
+                state = scan_jit(arrays, bvh, state, jnp.uint32(b), nb)
+            if j < depth - 1:
+                buckets, dropb = entries[j]
+                state, slots, acc, o = compact_part_jit(
+                    state, slots, acc, buckets, dropb)
+                over = o if over is None else (over | o)
+                rows = (partition.group_rows(part_groups, buckets)
+                        if len(buckets) > 1 else None)
+            b = j + 1
+        acc = flush_drop_jit(acc, slots, state)
         return acc, over
 
     def run(arrays, bvh, basis, perm, sample0, n_samples, seed,
@@ -718,6 +1072,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
 
         return finish if defer else finish()
 
+    run.schedules = schedules  # exposed for tests / inspection
     return run
 
 
@@ -757,7 +1112,8 @@ def render_image(scene: Scene, settings: RenderSettings,
     if compaction:
         run_compacted = make_compacting_renderer(
             scene, W, H, settings.depth, use_bvh, settings.leaf_size,
-            bf16_hits=settings.bf16_hits)
+            bf16_hits=settings.bf16_hits,
+            partition_sweep=settings.partition)
         basis_dev = jax.device_put(basis)
         arrays_dev, bvh_dev = jax.device_put((arrays, bvh))
 

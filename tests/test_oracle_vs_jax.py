@@ -151,21 +151,15 @@ def test_schedule_overflow_falls_back(monkeypatch):
     perm = block_order(W, H)
     a = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5))
     # Sabotage the recorded schedule: shrink every bucket far below the
-    # real alive counts so every milestone overflows.
-    sched_cache = run.__closure__  # noqa: F841  (documentation only)
-    # Reach the cache through a fresh counted pass record instead:
-    # monkeypatch the module-level margin so a *new* runner under-records.
-    from hyper_ray_tracer_tpu.render import _bucket_quantum  # noqa: F401
-
+    # real alive counts so every milestone overflows.  (final has
+    # partition groups, so the cache holds the (pre, entries) form; at
+    # this size every entry is a plain single-category bucket.)
     n0 = W * H * SPP
-    # Find the schedules dict in the closure cells and corrupt it.
-    cells = [c.cell_contents for c in run.__closure__
-             if isinstance(c.cell_contents, dict)]
-    assert cells, "schedule cache not found in run closure"
-    sched = cells[0]
+    sched = run.schedules
     assert n0 in sched
-    sched[n0] = [64 for _ in sched[n0]]
+    pre, entries = sched[n0]
+    sched[n0] = (pre, [((64,), 64)] * len(entries))
     b = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5))
     np.testing.assert_array_equal(a, b)
     # The corrupted schedule was evicted and re-recorded.
-    assert sched[n0] != [64 for _ in sched[n0]]
+    assert sched[n0] == (pre, entries)

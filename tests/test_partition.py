@@ -1,0 +1,195 @@
+"""Partitioned sweep (ops/partition.py + render.compact_wavefront_part).
+
+The partition machinery has two layers with different contracts:
+
+* the PERMUTATION (compact_wavefront_part) is exactly value-preserving —
+  tested bitwise;
+* the partitioned SWEEP is statistically identical to the plain sweep
+  (ulp-level fp-contraction noise on sliced lane shapes can flip
+  near-tie winners; see make_scan_intersector) — tested with drift
+  bounds, plus exact determinism of repeated scheduled passes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hyper_ray_tracer_tpu.render as R
+from hyper_ray_tracer_tpu import build_scene
+from hyper_ray_tracer_tpu.camera import make_basis
+from hyper_ray_tracer_tpu.ops import partition as P
+
+W, H, SPP, DEPTH = 64, 36, 4, 6
+
+
+@pytest.fixture(autouse=True)
+def small_thresholds(monkeypatch):
+    """Shrink the production lane/bucket floors so the partitioned path
+    engages at test sizes."""
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 256)
+    monkeypatch.setattr(P, "PART_MIN_LANES", 1024)
+
+
+@pytest.fixture(scope="module")
+def final_scene():
+    scene = build_scene("final")
+    arrays, bvh, mode = R.prepare_scene(scene)
+    basis = make_basis(scene.camera, W, H)
+    return scene, arrays, bvh, mode, basis
+
+
+def test_partition_groups_final(final_scene):
+    """The final scene yields two trimmed groups: the 1000-sphere cloud
+    (heroes trimmed off the shared sphere run — their AABB inflates the
+    union ~15x) and the 400-slab box grid; largest first."""
+    scene, *_ = final_scene
+    gs = P.partition_groups(scene.arrays.geom, scene.static.n_prims)
+    assert len(gs) == 2
+    sizes = [g.end - g.start for g in gs]
+    assert sizes == [1000, 400]
+    cloud = gs[0]
+    # Trimmed cloud AABB is the rotated 165-cube + r=10 dilation region,
+    # far smaller than the whole-run union that includes the heroes.
+    assert cloud.bmax[0] - cloud.bmin[0] < 300.0
+    assert cloud.bmin[1] > 200.0  # cloud floats above the box grid
+
+
+def test_group_rows_layout():
+    g = [P.PartGroup(0, 10, np.zeros(3, np.float32),
+                     np.ones(3, np.float32))] * 2
+    rows = P.group_rows(g, (5, 7, 11, 13))
+    # layout order (masks 11, 10, 01, 00): group 0 = prefix, group 1 =
+    # two ranges around group-0-only lanes.
+    assert rows[0] == ((0, 12),)
+    assert rows[1] == ((0, 5), (12, 23))
+    # zero-width categories vanish / merge
+    rows = P.group_rows(g, (0, 7, 11, 13))
+    assert rows[0] == ((0, 7),)
+    assert rows[1] == ((7, 18),)
+
+
+def test_overlap_masks_conservative():
+    g = P.PartGroup(0, 1, np.float32([0, 0, 0]), np.float32([1, 1, 1]))
+    o = jnp.asarray([
+        [0.5, 0.5, -1.0],   # outside, pointing in
+        [0.5, 0.5, -1.0],   # outside, pointing away
+        [0.5, 0.5, 0.5],    # inside
+        [0.5, 0.5, 2.0],    # behind along +z
+        [0.0, 0.5, -1.0],   # ON the x=0 slab plane, axis-parallel dir
+    ], jnp.float32)
+    d = jnp.asarray([
+        [0, 0, 1], [0, 0, -1], [1, 0, 0], [0, 0, 1], [0, 0, 1],
+    ], jnp.float32)
+    m = np.asarray(P.overlap_masks((g,), o, d, jnp))[:, 0]
+    assert list(m) == [True, False, True, False, True]
+
+
+def test_partitioned_permutation_is_exact(final_scene):
+    """compact_wavefront_part is a pure permutation: flushing everything
+    it kept + everything it dropped reproduces the plain compaction's
+    accumulator bit-for-bit."""
+    scene, arrays, bvh, mode, basis = final_scene
+    colorer = R.make_ray_colorer(scene, W, H, DEPTH, mode,
+                                 differentiable=False)
+    if not colorer.part_groups:
+        pytest.skip("no groups")
+    n0 = W * H * SPP
+    pix = jnp.tile(jnp.arange(W * H, dtype=jnp.int32), SPP)
+    sam = jnp.repeat(jnp.arange(SPP, dtype=jnp.int32), W * H)
+    state = jax.jit(colorer.init_state)(basis, pix, sam, jnp.uint32(3))
+    state = jax.jit(colorer.bounce_scan, static_argnums=(4,))(
+        arrays, bvh, state, jnp.uint32(0), 2)
+    acc = jnp.zeros((n0, 3), jnp.float32)
+    slots = jnp.arange(n0, dtype=jnp.int32)
+
+    counts = np.asarray(jax.jit(colorer.cat_counts)(state))
+    buckets = tuple(int(-(-max(int(c), 1) // 256) * 256) for c in counts)
+    dropb = int(n0 - counts.sum() + 512)
+    st2, sl2, acc2, over = jax.jit(
+        R.compact_wavefront_part, static_argnums=(3, 4, 5))(
+            state, slots, acc, buckets, dropb, colorer.part_groups)
+    assert not bool(np.asarray(over))
+    # Alive lanes survive exactly once, in their own slot.
+    alive_new = np.asarray(st2.alive)
+    assert alive_new.sum() == counts.sum()
+    full = np.asarray(R.flush_wavefront_drop(acc2, sl2, st2))
+    ref = np.asarray(R.flush_wavefront(
+        jnp.zeros((n0, 3), jnp.float32), slots, state))
+    np.testing.assert_array_equal(full, ref)
+    # Hole lanes are inert: dead, zero radiance, out-of-range slot.
+    holes = ~alive_new
+    assert (np.asarray(sl2)[holes] >= n0).all()
+    assert (np.asarray(st2.radiance)[holes] == 0).all()
+
+
+def test_partitioned_render_statistical_identity(final_scene):
+    """Scheduled partitioned renders match the fixed scan statistically
+    (rare near-tie winner flips only) and exactly repeat themselves."""
+    scene, arrays, bvh, mode, basis = final_scene
+    perm = jnp.asarray(R.block_order(W, H))
+    run = R.make_compacting_renderer(scene, W, H, DEPTH, mode)
+    probe = np.asarray(run(arrays, bvh, basis, perm, 0, SPP,
+                           np.uint32(5)))
+    s1 = np.asarray(run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5)))
+    s2 = np.asarray(run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5)))
+    np.testing.assert_array_equal(s1, s2)  # deterministic
+    # The probe pass IS the fixed scan; the scheduled pass may flip a
+    # handful of near-tie winners.  Bound the drift at MC scale.
+    flipped = np.any(probe != s1, axis=-1)
+    assert flipped.mean() < 0.02, f"{flipped.mean():.4f} of pixels flipped"
+    denom = np.abs(probe).sum()
+    assert np.abs(probe - s1).sum() / max(denom, 1e-6) < 5e-3
+
+
+def test_partitioned_off_is_bit_identical(final_scene):
+    """partition_sweep=False keeps the original exact contract."""
+    scene, arrays, bvh, mode, basis = final_scene
+    colorer = R.make_ray_colorer(scene, W, H, DEPTH, mode,
+                                 differentiable=False)
+    perm = jnp.asarray(R.block_order(W, H))
+    run = R.make_compacting_renderer(scene, W, H, DEPTH, mode,
+                                     partition_sweep=False)
+    out1 = np.asarray(run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5)))
+    out2 = np.asarray(run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5)))
+    np.testing.assert_array_equal(out1, out2)
+    pix = jnp.tile(perm, SPP)
+    sam = jnp.repeat(jnp.arange(SPP, dtype=jnp.int32), W * H)
+    rad = jax.jit(colorer)(arrays, bvh, basis, pix, sam, np.uint32(5))
+    ref = np.asarray(rad).reshape(SPP, W * H, 3).sum(0)
+    np.testing.assert_array_equal(ref, out1)
+
+
+def test_partition_overflow_reprobes(final_scene, monkeypatch):
+    """Force category overflow: the scheduled pass must detect it and the
+    renderer must fall back to a fresh counted pass (valid render)."""
+    scene, arrays, bvh, mode, basis = final_scene
+    perm = jnp.asarray(R.block_order(W, H))
+    run = R.make_compacting_renderer(scene, W, H, DEPTH, mode)
+    ref = np.asarray(run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5)))
+    # A different seed shifts survival; with the tiny 4% headroom at this
+    # size an overflow is likely but not guaranteed — instead corrupt the
+    # cached schedule directly to force it.
+    (key, (pre, entries)), = run.schedules.items()
+    bad = [None if e is None else (tuple(x // 2 for x in e[0]), e[1])
+           for e in entries]
+    run.schedules[key] = (pre, bad)
+    out = np.asarray(run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5)))
+    np.testing.assert_array_equal(out, ref)
+    # The re-probe rebuilt a working schedule.
+    pre2, entries2 = run.schedules[key]
+    assert entries2 == entries
+
+
+def test_small_wavefronts_stay_plain(final_scene, monkeypatch):
+    """Below PART_MIN_LANES the schedule must not emit partitioned
+    milestones (production sizes: tests and oracle tiles keep the exact
+    plain semantics)."""
+    monkeypatch.setattr(P, "PART_MIN_LANES", 10 ** 9)
+    scene, arrays, bvh, mode, basis = final_scene
+    perm = jnp.asarray(R.block_order(W, H))
+    run = R.make_compacting_renderer(scene, W, H, DEPTH, mode)
+    out = np.asarray(run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5)))
+    (key, (pre, entries)), = run.schedules.items()
+    assert pre is None
+    assert all(e is None or len(e[0]) == 1 for e in entries)
