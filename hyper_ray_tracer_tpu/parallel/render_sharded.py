@@ -31,8 +31,11 @@ from jax.sharding import PartitionSpec as P
 
 from ..render import (
     compact_wavefront,
+    compact_wavefront_part,
     flush_wavefront,
+    flush_wavefront_drop,
     make_ray_colorer,
+    schedule_from_cat_counts,
     schedule_from_counts,
     schedule_groups,
 )
@@ -136,7 +139,11 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
     Results are bit-identical to the uncompacted sharded renderer (every
     ray's RNG stream is keyed by (pixel, sample); compaction only drops
     dead lanes; each lane's radiance lands in its own slot before the
-    fixed-order sample reduction).
+    fixed-order sample reduction) — EXCEPT on scenes with partition
+    groups, where the scheduled pass additionally runs the partitioned
+    sweep (render.py compact_wavefront_part; per-device local wavefronts
+    above ops.partition.PART_MIN_LANES) and matches statistically rather
+    than bitwise, same contract as the single-chip partitioned path.
 
     Matches the load-balancing role of the reference's tile scheduler
     (`/root/reference/src/application.rs:393-475`), executed as static
@@ -144,18 +151,33 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
     """
     colorer = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
                                differentiable=False)
+    part_groups = colorer.part_groups
+    use_part = len(part_groups) > 0
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(AXIS_SPP, AXIS_RAYS),
                   P(AXIS_SPP, AXIS_RAYS), P()),
-        out_specs=(P(AXIS_RAYS), P()),
+        out_specs=((P(AXIS_RAYS), P(), P())
+                   if use_part else (P(AXIS_RAYS), P())),
     )
     def probe_block(arrays, bvh, basis, pixel_ids, sample_ids, seed):
         s_loc, n_loc = pixel_ids.shape
         state = colorer.init_state(basis, pixel_ids.reshape(-1),
                                    sample_ids.reshape(-1), seed)
+        if use_part:
+            # Partitioned probe: the worst-device per-CATEGORY counts
+            # become one shared schedule, so every device compiles the
+            # same static buckets/rows (SPMD requires identical shapes).
+            pre = colorer.cat_counts(state)
+            state, counts = colorer.bounce_scan_counted_cats(
+                arrays, bvh, state, jnp.uint32(0), depth)
+            rad = state.radiance.reshape(s_loc, n_loc, 3).sum(0)
+            rad = jax.lax.psum(rad, AXIS_SPP)
+            pre = jax.lax.pmax(pre, (AXIS_SPP, AXIS_RAYS))
+            cmax = jax.lax.pmax(counts[:-1], (AXIS_SPP, AXIS_RAYS))
+            return rad, pre, cmax
         # One rolled scan over all bounces, emitting the per-bounce alive
         # counts (the full survival curve in one readback).
         state, counts = colorer.bounce_scan_counted(
@@ -202,6 +224,70 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
 
         return jax.jit(sched_block)
 
+    def _make_scheduled_part(psched):
+        """Partitioned descent per device (render.py _run_scheduled_part,
+        shard_map edition): the shared worst-device schedule keeps every
+        device's buckets/rows static and identical, so the whole chain is
+        one SPMD program with a psum at the end."""
+        from ..ops import partition as _partition
+
+        pre, entries = psched
+
+        def _compact(state, slots, acc, buckets, dropb):
+            gs = part_groups if len(buckets) > 1 else ()
+            return compact_wavefront_part(state, slots, acc, buckets,
+                                          dropb, gs)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(AXIS_SPP, AXIS_RAYS),
+                      P(AXIS_SPP, AXIS_RAYS), P()),
+            out_specs=(P(AXIS_RAYS), P()),
+        )
+        def sched_block(arrays, bvh, basis, pixel_ids, sample_ids, seed):
+            s_loc, n_loc = pixel_ids.shape
+            n0_loc = s_loc * n_loc
+            state = colorer.init_state(basis, pixel_ids.reshape(-1),
+                                       sample_ids.reshape(-1), seed)
+            acc = state.radiance * 0.0
+            slots = jnp.arange(n0_loc, dtype=jnp.int32)
+            over = state.alive[0] & ~state.alive[0]  # device-varying False
+            rows = None
+            if pre is not None:
+                state, slots, acc, o = _compact(state, slots, acc,
+                                                pre[0], pre[1])
+                over = over | o
+                rows = _partition.group_rows(part_groups, pre[0])
+            b = 0
+            while b < depth:
+                j = b
+                while j < depth - 1 and entries[j] is None:
+                    j += 1
+                nb = j - b + 1
+                if rows is not None:
+                    state = colorer.bounce_scan_rows(
+                        arrays, bvh, state, jnp.uint32(b), nb, rows)
+                else:
+                    state = colorer.bounce_scan(
+                        arrays, bvh, state, jnp.uint32(b), nb)
+                if j < depth - 1:
+                    buckets, dropb = entries[j]
+                    state, slots, acc, o = _compact(state, slots, acc,
+                                                    buckets, dropb)
+                    over = over | o
+                    rows = (_partition.group_rows(part_groups, buckets)
+                            if len(buckets) > 1 else None)
+                b = j + 1
+            acc = flush_wavefront_drop(acc, slots, state)
+            rad = acc.reshape(s_loc, n_loc, 3).sum(0)
+            rad = jax.lax.psum(rad, AXIS_SPP)
+            over = jax.lax.pmax(over.astype(jnp.int32),
+                                (AXIS_SPP, AXIS_RAYS))
+            return rad, over
+
+        return jax.jit(sched_block)
+
     n_dev = int(np.prod([mesh.shape[a] for a in (AXIS_RAYS, AXIS_SPP)]))
     cache = {}  # ids shape -> (sched tuple, compiled scheduled block)
 
@@ -220,12 +306,22 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
                 return rad
             cache.pop(key, None)  # stale schedule: re-probe below
 
-        rad, cmax = probe_jit(arrays, bvh, basis, pixel_ids, sample_ids,
-                              seed)
-        sched = schedule_from_counts(np.asarray(cmax), n0_loc)
-        cache[key] = (tuple(sched), _make_scheduled(tuple(sched)))
+        if use_part:
+            rad, pre, cmax = probe_jit(arrays, bvh, basis, pixel_ids,
+                                       sample_ids, seed)
+            psched = schedule_from_cat_counts(
+                np.asarray(pre), np.asarray(cmax), n0_loc, part_groups,
+                scene.static.n_prims)
+            psched = (psched[0], tuple(psched[1]))
+            cache[key] = (psched, _make_scheduled_part(psched))
+        else:
+            rad, cmax = probe_jit(arrays, bvh, basis, pixel_ids,
+                                  sample_ids, seed)
+            sched = schedule_from_counts(np.asarray(cmax), n0_loc)
+            cache[key] = (tuple(sched), _make_scheduled(tuple(sched)))
         return np.asarray(rad)
 
+    run.cache = cache  # exposed for tests / inspection
     return run
 
 

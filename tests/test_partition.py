@@ -193,3 +193,52 @@ def test_small_wavefronts_stay_plain(final_scene, monkeypatch):
     (key, (pre, entries)), = run.schedules.items()
     assert pre is None
     assert all(e is None or len(e[0]) == 1 for e in entries)
+
+
+def test_sharded_partitioned_render(final_scene, monkeypatch):
+    """The sharded compacting renderer runs the partitioned descent per
+    device with one shared (worst-device) schedule: statistically matches
+    its own probe, exactly repeats itself, and re-probes on overflow."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as SP
+
+    from hyper_ray_tracer_tpu.parallel.mesh import (
+        AXIS_RAYS,
+        AXIS_SPP,
+        make_render_mesh,
+    )
+    from hyper_ray_tracer_tpu.parallel.render_sharded import (
+        make_sharded_compacting_renderer,
+    )
+
+    monkeypatch.setattr(P, "PART_MIN_LANES", 128)
+    scene, arrays, bvh, mode, basis = final_scene
+    mesh = make_render_mesh(4, 2)
+    idsh = NamedSharding(mesh, SP(AXIS_SPP, AXIS_RAYS))
+    repl = NamedSharding(mesh, SP())
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32),
+                           (SPP, W * H))
+    sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
+                           (SPP, W * H))
+    args = (jax.device_put(arrays, repl), jax.device_put(bvh, repl),
+            jax.device_put(basis, repl), jax.device_put(pix, idsh),
+            jax.device_put(sam, idsh), np.uint32(9))
+    run = make_sharded_compacting_renderer(scene, W, H, DEPTH, mesh, mode)
+    probe = run(*args)
+    s1 = run(*args)
+    s2 = run(*args)
+    np.testing.assert_array_equal(s1, s2)
+    (key, (psched, _)), = run.cache.items()
+    pre, entries = psched
+    assert any(e is not None and len(e[0]) > 1 for e in entries), \
+        "sharded schedule never partitioned"
+    flipped = np.any(probe != s1, axis=-1)
+    assert flipped.mean() < 0.02
+    denom = np.abs(probe).sum()
+    assert np.abs(probe - s1).sum() / max(denom, 1e-6) < 5e-3
+    # Evicting the schedule must re-probe (device-side overflow detection
+    # itself is exercised by test_partition_overflow_reprobes — the
+    # sharded block shares compact_wavefront_part's flag, pmax-reduced).
+    run.cache.pop(key)
+    out = run(*args)  # cache miss -> fresh probe render (fixed scan)
+    np.testing.assert_array_equal(out, probe)
