@@ -1,15 +1,16 @@
 """Break down a full compacted pass (real TPU): where do the ms go?
 
-bench.py's 400x225x16spp depth-10 pass is ~610 ms, but the per-bounce
-schedule predicts only ~3.2 full-wavefront bounce-equivalents (~340 ms at
-the measured ~104 ms/bounce).  This tool times CUMULATIVE PREFIXES of the
-real scheduled descent (init, groups of bounces + compaction, flush,
-reduce) — one end sync per prefix, differences give per-phase cost
-without perturbing the chain with mid-stream syncs.
+Times CUMULATIVE PREFIXES of the real scheduled descent (init,
+pre-partition, per-segment bounces + compactions, flush, reduce) — one
+end sync per prefix, differences give per-phase cost without perturbing
+the chain with mid-stream syncs.  Profiles whatever schedule the
+compacting renderer would actually run (partitioned on scenes with
+groups, plain otherwise); ``--no-part`` forces the plain path.
 
-Run from the repo root: ``python -m tools.prof_sched``.
+Run from the repo root: ``python -m tools.prof_sched [scene]``.
 """
 
+import argparse
 import sys
 import time
 
@@ -20,14 +21,15 @@ import jax.numpy as jnp
 
 from hyper_ray_tracer_tpu import build_scene
 from hyper_ray_tracer_tpu.camera import make_basis
+from hyper_ray_tracer_tpu.ops import partition as P
 from hyper_ray_tracer_tpu.render import (
     block_order,
-    compact_wavefront,
-    flush_wavefront,
+    compact_wavefront_part,
+    flush_wavefront_drop,
     make_ray_colorer,
     prepare_scene,
+    schedule_from_cat_counts,
     schedule_from_counts,
-    schedule_groups,
 )
 
 W, H, SPP, DEPTH = 400, 225, 16, 10
@@ -45,16 +47,29 @@ def timeit(fn, reps=3):
 
 
 def main():
-    scene = build_scene("final")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene", nargs="?", default="final")
+    ap.add_argument("--no-part", action="store_true")
+    a = ap.parse_args()
+
+    scene = build_scene(a.scene)
     print("device:", jax.devices()[0], flush=True)
     arrays, bvh, mode = prepare_scene(scene)
     basis = make_basis(scene.camera, W, H)
     colorer = make_ray_colorer(scene, W, H, DEPTH, mode,
                                differentiable=False)
+    pg = () if a.no_part else colorer.part_groups
+    use_part = len(pg) > 0
+
+    def _compact(state, slots, acc, buckets, dropb):
+        gs = pg if len(buckets) > 1 else ()
+        return compact_wavefront_part(state, slots, acc, buckets, dropb,
+                                      gs)
+
     scan_jit = jax.jit(colorer.bounce_scan, static_argnums=(4,))
-    counted_jit = jax.jit(colorer.bounce_scan_counted, static_argnums=(4,))
-    compact_jit = jax.jit(compact_wavefront, static_argnums=(3,))
-    flush_jit = jax.jit(flush_wavefront)
+    scanrows_jit = jax.jit(colorer.bounce_scan_rows, static_argnums=(4, 5))
+    compact_jit = jax.jit(_compact, static_argnums=(3, 4))
+    flush_jit = jax.jit(flush_wavefront_drop)
     reduce_jit = jax.jit(lambda acc: acc.reshape(SPP, -1, 3).sum(0))
     id_init = jax.jit(
         lambda basis, perm, seed: colorer.init_state(
@@ -76,44 +91,81 @@ def main():
 
     # Probe: survival curve -> schedule.
     st0 = id_init(basis, perm, jnp.uint32(0))
-    _, counts = counted_jit(arrays, bvh, st0, jnp.uint32(0), DEPTH)
-    sched = schedule_from_counts(np.asarray(counts)[:-1], N)
-    groups = schedule_groups(sched, DEPTH)
-    print("groups:", groups, flush=True)
+    if use_part:
+        def counted(arrays, bvh, state):
+            pre = colorer.cat_counts(state)
+            st, counts = colorer.bounce_scan_counted_cats(
+                arrays, bvh, state, jnp.uint32(0), DEPTH)
+            return st, pre, counts
+
+        _, pre_c, cat_c = jax.jit(counted)(arrays, bvh, st0)
+        pre, entries = schedule_from_cat_counts(
+            np.asarray(pre_c), np.asarray(cat_c)[:-1], N, pg,
+            scene.static.n_prims)
+    else:
+        _, counts = jax.jit(colorer.bounce_scan_counted,
+                            static_argnums=(4,))(
+            arrays, bvh, st0, jnp.uint32(0), DEPTH)
+        sched = schedule_from_counts(np.asarray(counts)[:-1], N)
+        pre = None
+        entries = [None if b is None else ((b,), N) for b in sched]
+    print("pre:", pre, flush=True)
+    for i, e in enumerate(entries):
+        print(f"  entry {i}: {e}", flush=True)
+
+    # Segment plan: (b0, nb, entry-or-None), pre handled separately.
+    segs = []
+    b = 0
+    while b < DEPTH:
+        j = b
+        while j < DEPTH - 1 and entries[j] is None:
+            j += 1
+        segs.append((b, j - b + 1, entries[j] if j < DEPTH - 1 else None))
+        b = j + 1
 
     one = jnp.float32(1.0)
     t_sync = timeit(lambda: np.asarray(one * 1.0), reps=5)
     print(f"sync floor: {t_sync*1e3:6.1f} ms", flush=True)
 
-    def prefix(k, with_init_only=False):
-        """Run init + groups[:k] (+flush+reduce when k == len(groups))."""
+    def prefix(k, with_pre=True):
+        """init (+pre) + segs[:k]; full pipeline when k == len(segs)."""
         def f():
             state = id_init(basis, perm, jnp.uint32(0))
-            if with_init_only:
-                return np.asarray(state.time.sum())
             acc = jnp.zeros((N, 3), jnp.float32)
             slots = jnp.arange(N, dtype=jnp.int32)
-            for b0, b1, bucket in groups[:k]:
-                state = scan_jit(arrays, bvh, state, jnp.uint32(b0),
-                                 b1 - b0)
-                if bucket is not None:
+            rows = None
+            if pre is not None and with_pre:
+                state, slots, acc, _ = compact_jit(state, slots, acc,
+                                                   pre[0], pre[1])
+                rows = P.group_rows(pg, pre[0])
+            for b0, nb, entry in segs[:k]:
+                if rows is not None:
+                    state = scanrows_jit(arrays, bvh, state,
+                                         jnp.uint32(b0), nb, rows)
+                else:
+                    state = scan_jit(arrays, bvh, state, jnp.uint32(b0),
+                                     nb)
+                if entry is not None:
+                    buckets, dropb = entry
                     state, slots, acc, _ = compact_jit(state, slots, acc,
-                                                       bucket)
-            if k == len(groups):
+                                                       buckets, dropb)
+                    rows = (P.group_rows(pg, buckets)
+                            if len(buckets) > 1 else None)
+            if k == len(segs):
                 acc = flush_jit(acc, slots, state)
                 return np.asarray(reduce_jit(acc)).sum()
             return np.asarray(state.radiance.sum() + acc.sum())
         return f
 
-    t_init = timeit(prefix(0, with_init_only=True))
-    print(f"init only : {t_init*1e3:7.1f} ms", flush=True)
-    prev = timeit(prefix(0))
-    print(f"prefix 0  : {prev*1e3:7.1f} ms  (acc+slots alloc)", flush=True)
-    for k in range(1, len(groups) + 1):
+    prev = timeit(prefix(0, with_pre=False))
+    print(f"init only : {prev*1e3:7.1f} ms", flush=True)
+    if pre is not None:
+        prev = timeit(prefix(0))
+        print(f"init+pre  : {prev*1e3:7.1f} ms", flush=True)
+    for k in range(1, len(segs) + 1):
         t = timeit(prefix(k))
-        g = groups[k - 1]
-        print(f"prefix {k:2d} : {t*1e3:7.1f} ms  (delta {(t-prev)*1e3:+7.1f})"
-              f"  group {g}", flush=True)
+        print(f"prefix {k:2d} : {t*1e3:7.1f} ms  "
+              f"(delta {(t-prev)*1e3:+7.1f})  seg {segs[k-1]}", flush=True)
         prev = t
     return 0
 
