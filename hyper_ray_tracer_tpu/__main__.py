@@ -46,6 +46,9 @@ def main(argv=None) -> int:
                         help="Progressive preview PNG updated per chunk")
     parser.add_argument("--no-bvh", action="store_true",
                         help="Force the brute-force intersector")
+    parser.add_argument("--no-partition", action="store_true",
+                        help="Disable the partitioned sweep (exact plain-"
+                             "sweep renders; see RenderSettings.partition)")
     parser.add_argument("--leaf-size", type=int, default=4)
     parser.add_argument("--cpu", action="store_true",
                         help="Run on CPU instead of TPU")
@@ -78,6 +81,7 @@ def main(argv=None) -> int:
         depth=args.depth, seed=args.seed, spp_chunk=args.spp_chunk,
         use_bvh=False if args.no_bvh else None, leaf_size=args.leaf_size,
         checkpoint_path=args.checkpoint, preview_path=args.preview,
+        partition=not args.no_partition,
     )
 
     t0 = time.monotonic()

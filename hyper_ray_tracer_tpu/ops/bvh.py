@@ -64,7 +64,11 @@ from .intersect import BIG, PrimFields, aabb_hit, gather_prim, \
 # drifted the final scene by 3.5e-2 mean |dI|; sphere-only-with-f32-
 # differences measures ~1e-3 — MC-noise scale.)
 _BF = jnp.bfloat16
-_BIG_BF = _BF(3.0e38)
+# NumPy (ml_dtypes) scalar, NOT jnp: a jnp scalar here would initialise
+# the default accelerator backend as a side effect of *importing the
+# library* — which hangs or faults when the tunneled TPU is unreachable,
+# even for CPU-only runs that never touch it.
+_BIG_BF = np.asarray(3.0e38, dtype=_BF)
 
 
 def _sphere_tile_bf16(pf, o32, d16, a16, inv_a16, t_min16, t_max16):

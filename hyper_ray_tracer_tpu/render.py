@@ -147,7 +147,12 @@ class RenderSettings:
     leaf_size: int = 4
     # Resumable rendering (SURVEY.md §5): persist the radiance accumulator
     # after every chunk; a resumed render is bit-identical to an
-    # uninterrupted one (counter-based RNG).
+    # uninterrupted one (counter-based RNG).  Caveat: with the partitioned
+    # sweep engaged (see ``partition``), the resumed process re-probes its
+    # first chunk, so that chunk's samples carry the fixed scan's exact
+    # values instead of the scheduled pass's statistically-equivalent
+    # ones — the resume is unbiased but bitwise-exact only under
+    # partition=False.
     checkpoint_path: Optional[str] = None
     # Progressive preview PNG updated after every chunk (replaces the
     # reference's incremental GL tile display).
