@@ -242,3 +242,77 @@ def test_sharded_partitioned_render(final_scene, monkeypatch):
     run.cache.pop(key)
     out = run(*args)  # cache miss -> fresh probe render (fixed scan)
     np.testing.assert_array_equal(out, probe)
+
+
+def test_compact_part_fuzz_synthetic():
+    """Synthetic fuzz: random states / groups / buckets.  Invariants:
+    (a) flush(kept) + drop-flushes == per-slot radiance of all lanes
+    (exact), (b) without overflow every alive lane survives exactly once
+    in category-sorted order, (c) overflow flags exactly when a category
+    or the drop region overruns."""
+    rng = np.random.default_rng(42)
+    gs = (P.PartGroup(0, 10, (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
+          P.PartGroup(10, 20, (2.0, 2.0, 2.0), (4.0, 4.0, 4.0)))
+    for trial in range(6):
+        n = int(rng.integers(64, 257))
+        o = rng.uniform(-3, 5, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        alive = rng.random(n) < rng.uniform(0.2, 0.9)
+        state = R.WavefrontState(
+            o=jnp.asarray(o), d=jnp.asarray(d),
+            time=jnp.asarray(rng.random(n).astype(np.float32)),
+            base=jnp.asarray(rng.integers(0, 2**31, n).astype(np.uint32)),
+            alive=jnp.asarray(alive),
+            throughput=jnp.asarray(
+                rng.random((n, 3)).astype(np.float32)),
+            radiance=jnp.asarray(rng.random((n, 3)).astype(np.float32)),
+        )
+        n0 = n + 16
+        slots = jnp.asarray(
+            rng.permutation(n0)[:n].astype(np.int32))
+        acc = jnp.zeros((n0, 3), jnp.float32)
+
+        catl = np.asarray(P.lane_layout_cat(gs, state.o, state.d, jnp))
+        n_cat = [(alive & (catl == p)).sum() for p in range(4)]
+        tight = trial % 2 == 0
+        if tight:  # exact buckets + exact drop region: no overflow
+            buckets = tuple(int(c) for c in n_cat)
+            dropb = int(n - sum(n_cat))
+        else:      # slack everywhere
+            buckets = tuple(int(c) + 8 for c in n_cat)
+            dropb = int(n - sum(n_cat)) + 8
+        st2, sl2, acc2, over = jax.jit(
+            R.compact_wavefront_part, static_argnums=(3, 4, 5))(
+                state, slots, acc, buckets, dropb, gs)
+        assert not bool(np.asarray(over))
+        # (a) conservation per slot
+        got = np.asarray(R.flush_wavefront_drop(acc2, sl2, st2))
+        want = np.zeros((n0, 3), np.float32)
+        np.add.at(want, np.asarray(slots), np.asarray(state.radiance))
+        np.testing.assert_array_equal(got, want)
+        # (b) alive lanes exactly once, category-sorted
+        sl2_np = np.asarray(sl2)
+        kept = sl2_np[np.asarray(st2.alive)]
+        expect = np.asarray(slots)[alive]
+        assert sorted(kept.tolist()) == sorted(expect.tolist())
+        offs = np.concatenate([[0], np.cumsum(buckets)])
+        for pcat in range(4):
+            seg = np.asarray(st2.alive)[offs[pcat]:offs[pcat + 1]]
+            assert seg.sum() == n_cat[pcat]
+            # alive lanes pack to the front of their category
+            assert seg[:int(n_cat[pcat])].all()
+        # (c) overflow flags on a too-small category or drop region
+        if sum(n_cat) > 0:
+            big = int(np.argmax(n_cat))
+            bad = tuple(int(c) - (1 if p == big else 0)
+                        for p, c in enumerate(n_cat))
+            *_, over_bad = jax.jit(
+                R.compact_wavefront_part, static_argnums=(3, 4, 5))(
+                    state, slots, acc, bad, dropb, gs)
+            assert bool(np.asarray(over_bad))
+        if n - sum(n_cat) > 0:
+            *_, over_drop = jax.jit(
+                R.compact_wavefront_part, static_argnums=(3, 4, 5))(
+                    state, slots, acc, buckets,
+                    int(n - sum(n_cat)) - 1, gs)
+            assert bool(np.asarray(over_drop))
