@@ -71,13 +71,21 @@ class TrainState(NamedTuple):
 
 def measure_compact_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
                              basis, pixel_ids, sample_ids, seed=0,
-                             leaf_size: int = 4):
+                             leaf_size: int = 4, margin: float = 0.15):
     """One counted (uncompacted) pass -> per-bounce bucket schedule tuple
     for these launch shapes, for ``make_loss_fn(compact_sched=...)``.
 
     Training can reuse the inference scheduler because compaction is a
     pure permutation that drops only dead lanes: the compacted forward is
-    bit-identical, so its gradients equal the fixed-scan gradients."""
+    bit-identical, so its gradients equal the fixed-scan gradients.
+
+    ``margin`` inflates the measured survival counts before bucketing:
+    unlike inference, a training loop *changes* the scene parameters the
+    survival curve depends on, and the jitted loss cannot re-probe —
+    15% default headroom absorbs optimization drift.  If survival still
+    outgrows a bucket, the loss carries a loud penalty term (see
+    make_loss_fn) rather than failing silently; re-measure the schedule
+    when that fires."""
     from .render import make_ray_colorer as _mrc
     from .render import schedule_from_counts
 
@@ -88,7 +96,8 @@ def measure_compact_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
         jnp.uint32(seed))
     _, counts = jax.jit(colorer.bounce_scan_counted, static_argnums=(4,))(
         arrays, bvh, st, jnp.uint32(0), depth)
-    return tuple(schedule_from_counts(np.asarray(counts)[:-1],
+    counts = np.ceil(np.asarray(counts)[:-1] * (1.0 + margin))
+    return tuple(schedule_from_counts(counts,
                                       int(np.prod(pixel_ids.shape))))
 
 
@@ -110,7 +119,15 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
     function so ``jax.grad`` differentiates straight through the
     compaction gathers (their VJPs are scatter-adds).  Radiance is
     bit-identical to the fixed scan, so gradients match; the forward
-    drops the ~3x dead-lane work at depth >= 10."""
+    drops the ~3x dead-lane work at depth >= 10.
+
+    Schedule-overflow safety: training moves the very parameters the
+    survival curve depends on, so a bucket can eventually overflow —
+    live lanes would stop bouncing early and silently bias gradients.
+    The loss therefore adds ``1e6 * (any bucket overflowed)``: a
+    gradient-free tripwire (the flag comes from integer compares under
+    stop_gradient semantics) that makes a stale schedule unmissable in
+    the loss curve.  Re-run measure_compact_schedule when it fires."""
     ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
                                  remat=remat)
     if silhouette:
@@ -133,29 +150,37 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
                                          seed)
             acc = state.radiance * 0.0
             slots = jnp.arange(n0, dtype=jnp.int32)
+            over = None
             for b0, b1, bucket in groups:
                 state = ray_color.bounce_scan(arrays, bvh, state,
                                               jnp.uint32(b0), b1 - b0)
                 if bucket is not None:
-                    state, slots, acc, _ = compact_wavefront(
+                    state, slots, acc, o = compact_wavefront(
                         state, slots, acc, bucket)
-            return flush_wavefront(acc, slots, state)
+                    over = o if over is None else (over | o)
+            out = flush_wavefront(acc, slots, state)
+            return out, over
 
     else:
         def render(arrays, bvh, basis, pixel_ids, sample_ids, seed):
-            return ray_color(arrays, bvh, basis, pixel_ids, sample_ids,
-                             seed)
+            rad = ray_color(arrays, bvh, basis, pixel_ids, sample_ids,
+                            seed)
+            return rad, None
 
     def loss_fn(params, arrays, bvh, basis, pixel_ids, sample_ids, seed,
                 target):
         arrays = merge_params(arrays, params)
         s_blk = pixel_ids.shape[0]
-        rad = render(arrays, bvh, basis, pixel_ids.reshape(-1),
-                     sample_ids.reshape(-1), seed)
+        rad, over = render(arrays, bvh, basis, pixel_ids.reshape(-1),
+                           sample_ids.reshape(-1), seed)
         mean_rad = rad.reshape(s_blk, W * H, 3).mean(0)
         if silhouette:
             mean_rad = mean_rad + correction(arrays, bvh, basis, seed)
-        return jnp.mean((mean_rad - target) ** 2)
+        loss = jnp.mean((mean_rad - target) ** 2)
+        if over is not None:
+            # Stale-schedule tripwire (docstring): loud, gradient-free.
+            loss = loss + 1e6 * over.astype(jnp.float32)
+        return loss
 
     return loss_fn
 

@@ -256,3 +256,31 @@ def test_scaling_harness_runs():
                           reps=1)
     assert [p.n_devices for p in pts] == [1, 2, 4]
     assert all(np.isfinite(p.mrays_per_s) and p.mrays_per_s > 0 for p in pts)
+
+
+def test_compacted_training_overflow_tripwire(monkeypatch):
+    """A stale compact schedule (too-small buckets for the current
+    parameters) must make the loss explode (1e6 penalty), never silently
+    bias gradients."""
+    import jax.numpy as jnp
+
+    import hyper_ray_tracer_tpu.render as R
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.render import prepare_scene
+    from hyper_ray_tracer_tpu.train import extract_params, make_loss_fn
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 32)
+    scene = build_scene("final")
+    depth = 6
+    arrays, bvh, use_bvh = prepare_scene(scene)
+    basis = make_basis(scene.camera, W, H)
+    params = extract_params(arrays)
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
+    sam = jnp.zeros((SPP, W * H), jnp.int32)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    # Absurdly small buckets: every milestone overflows.
+    sched = (32,) * (depth - 1)
+    loss = jax.jit(make_loss_fn(scene, W, H, depth, use_bvh,
+                                compact_sched=sched))(
+        params, arrays, bvh, basis, pix, sam, np.uint32(0), target)
+    assert float(loss) > 1e5
