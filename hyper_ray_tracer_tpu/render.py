@@ -633,6 +633,7 @@ def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
     dest = jnp.full(n, b_total + drop_bucket, jnp.int32)  # default: lost
     kept = jnp.zeros(n, bool)
     n_cat = []
+    kept_cum = None  # kept count among the first i+1 lanes
     overflow = None
     for p in range(C):
         is_p = alive & (catl == p)
@@ -643,14 +644,20 @@ def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
         ok = is_p & (rank < buckets[p])
         dest = jnp.where(ok, np.int32(offs[p]) + rank, dest)
         kept = kept | ok
+        kc = jnp.minimum(cum, buckets[p])
+        kept_cum = kc if kept_cum is None else kept_cum + kc
         o_p = n_p > buckets[p]
         overflow = o_p if overflow is None else (overflow | o_p)
+    # Drop ranks derive from the category cumsums (no extra scan): among
+    # the first i+1 lanes, kept = sum_p min(cum_p[i], B_p), so a dropped
+    # lane at index i has rank i - kept_cum[i].
     is_drop = ~kept
-    cum_d = jnp.cumsum(is_drop)
-    rank_d = cum_d - 1
-    n_drop = cum_d[-1]
+    iota_n = jnp.arange(n, dtype=kept_cum.dtype)
+    rank_d = iota_n - kept_cum
+    n_drop = n - kept_cum[-1]
     ok_d = is_drop & (rank_d < drop_bucket)
-    dest = jnp.where(ok_d, np.int32(b_total) + rank_d, dest)
+    dest = jnp.where(ok_d, np.int32(b_total) + rank_d.astype(jnp.int32),
+                     dest)
     overflow = overflow | (n_drop > drop_bucket)
 
     idx_full = (
