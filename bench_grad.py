@@ -37,6 +37,10 @@ def main() -> int:
                     help="train through the scheduled compacted descent "
                          "(one extra counted probe pass; gradients are "
                          "bit-identical to the fixed scan)")
+    ap.add_argument("--partition", action="store_true",
+                    help="train through the PARTITIONED compacted descent "
+                         "(device-side group AABBs; statistically "
+                         "identical gradients)")
     a = ap.parse_args()
     scene_name = a.scene
     W, H, SPP, DEPTH = a.width, a.height, a.spp, a.depth
@@ -54,15 +58,22 @@ def main() -> int:
                            (SPP, W * H))
     target = jnp.zeros((W * H, 3), jnp.float32)
 
-    sched = None
-    if a.compact:
+    sched = psched = None
+    if a.partition:
+        from hyper_ray_tracer_tpu.train import measure_partition_schedule
+
+        psched = measure_partition_schedule(scene, W, H, DEPTH, use_bvh,
+                                            arrays, bvh, basis, pix, sam)
+        print(f"# partition schedule: {psched}", file=sys.stderr)
+    if a.compact and psched is None:
         from hyper_ray_tracer_tpu.train import measure_compact_schedule
 
         sched = measure_compact_schedule(scene, W, H, DEPTH, use_bvh,
                                          arrays, bvh, basis, pix, sam)
         print(f"# compact schedule: {sched}", file=sys.stderr)
     init, step = make_train_step(scene, W, H, DEPTH, use_bvh,
-                                 remat=DEPTH > 16, compact_sched=sched)
+                                 remat=DEPTH > 16, compact_sched=sched,
+                                 partition_sched=psched)
 
     state = init(arrays)
     step_jit = jax.jit(step)

@@ -49,6 +49,13 @@ class PartGroup(NamedTuple):
     # so a PartGroup is hashable (usable as a jit static argument).
     bmin: Tuple[float, float, float]
     bmax: Tuple[float, float, float]
+    # True when every member is an axis-aligned center/corner primitive
+    # with identity transform (spheres incl. moving/media — transforms
+    # bake into centers — and boxes): then the union AABB can be
+    # recomputed ON DEVICE from the current p0/p1/radius, which is what
+    # partitioned TRAINING needs (the baked bmin/bmax go stale the moment
+    # an optimizer moves a center).  Rect groups keep False.
+    dynamic_ok: bool = False
 
 
 def _trim_run(amin, amax, a: int, b: int):
@@ -106,16 +113,50 @@ def partition_groups(host_geom, n_prims: int) -> Tuple[PartGroup, ...]:
             runs.append(_trim_run(amin, amax, a, b))
     runs = [r for r in runs if r[1] - r[0] >= PART_MIN_PRIMS]
     runs.sort(key=lambda r: r[0] - r[1])  # largest first
+    from .intersect import (
+        PT_BOX,
+        PT_MEDIUM_SPHERE,
+        PT_SPHERE,
+    )
+
+    pt = np.asarray(host_geom.ptype)
+    rot = np.asarray(host_geom.rot)
+    trans = np.asarray(host_geom.trans)
+    eye = np.eye(3, dtype=rot.dtype)
     gs = []
     for a, b in runs[:MAX_GROUPS]:
+        dyn = bool(
+            np.isin(pt[a:b], [PT_SPHERE, PT_MEDIUM_SPHERE, PT_BOX]).all()
+            and (rot[a:b] == eye).all() and (trans[a:b] == 0).all())
         gs.append(PartGroup(
             int(a), int(b),
             tuple(float(v) for v in amin[a:b].min(0).astype(np.float32)),
-            tuple(float(v) for v in amax[a:b].max(0).astype(np.float32))))
+            tuple(float(v) for v in amax[a:b].max(0).astype(np.float32)),
+            dyn))
     return tuple(gs)
 
 
-def overlap_masks(groups, o, d, xp):
+def device_group_aabbs(groups, geom, xp):
+    """Per-group (bmin, bmax) recomputed from the CURRENT geometry.
+
+    Valid only for groups with ``dynamic_ok`` (axis-aligned center/corner
+    primitives, identity transform): the union of min(p0, p1) - r and
+    max(p0, p1) + r covers spheres (static, moving, media — the two
+    centers bound the shutter sweep) and boxes (r = 0, corners p0/p1)
+    for every value of the trainable p0/p1/radius.
+    """
+    out = []
+    for g in groups:
+        assert g.dynamic_ok, "group has no device-computable AABB"
+        p0 = geom.p0[g.start:g.end]
+        p1 = geom.p1[g.start:g.end]
+        r = geom.radius[g.start:g.end][:, None]
+        out.append((xp.minimum(p0, p1).min(0) - xp.max(r),
+                    xp.maximum(p0, p1).max(0) + xp.max(r)))
+    return out
+
+
+def overlap_masks(groups, o, d, xp, aabbs=None):
     """[N, G] conservative ray-vs-group-AABB overlap (t in (0, inf)).
 
     Conservative variant of ops.intersect.aabb_hit: |d| components are
@@ -123,11 +164,17 @@ def overlap_masks(groups, o, d, xp):
     interval -> overlap True, never a NaN miss) and the comparison is
     non-strict, so a false *negative* — which would silently skip a real
     hit — cannot happen; false positives only cost sweep work.
+
+    ``aabbs``: optional per-group (bmin, bmax) device arrays (training:
+    device_group_aabbs) overriding the baked static boxes.
     """
     cols = []
-    for g in groups:
-        bmin = np.asarray(g.bmin, np.float32)
-        bmax = np.asarray(g.bmax, np.float32)
+    for i, g in enumerate(groups):
+        if aabbs is not None:
+            bmin, bmax = aabbs[i]
+        else:
+            bmin = np.asarray(g.bmin, np.float32)
+            bmax = np.asarray(g.bmax, np.float32)
         d_safe = xp.where(xp.abs(d) < 1e-20, 1e-20, d)
         inv = 1.0 / d_safe
         t0 = (bmin - o) * inv
@@ -138,7 +185,7 @@ def overlap_masks(groups, o, d, xp):
     return xp.stack(cols, axis=-1)
 
 
-def lane_layout_cat(groups, o, d, xp):
+def lane_layout_cat(groups, o, d, xp, aabbs=None):
     """Layout position in [0, C) per lane: C-1-mask, mask bit (G-1-i) =
     overlaps group i — i.e. categories ordered by descending mask, group
     0 in the prefix."""
@@ -146,7 +193,7 @@ def lane_layout_cat(groups, o, d, xp):
     C = 1 << G
     if G == 0:  # degenerate single category: plain compaction layout
         return xp.zeros(o.shape[:1], xp.int32)
-    m = overlap_masks(groups, o, d, xp)
+    m = overlap_masks(groups, o, d, xp, aabbs=aabbs)
     mask = None
     for i in range(G):
         bit = m[:, i].astype(xp.int32) << (G - 1 - i)

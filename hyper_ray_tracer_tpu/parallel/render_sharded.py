@@ -170,7 +170,7 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
             # Partitioned probe: the worst-device per-CATEGORY counts
             # become one shared schedule, so every device compiles the
             # same static buckets/rows (SPMD requires identical shapes).
-            pre = colorer.cat_counts(state)
+            pre = colorer.cat_counts(state, geom=arrays.geom)
             state, counts = colorer.bounce_scan_counted_cats(
                 arrays, bvh, state, jnp.uint32(0), depth)
             rad = state.radiance.reshape(s_loc, n_loc, 3).sum(0)
@@ -233,10 +233,13 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
 
         pre, entries = psched
 
-        def _compact(state, slots, acc, buckets, dropb):
+        all_dyn = all(g.dynamic_ok for g in part_groups)
+
+        def _compact(state, slots, acc, geom, buckets, dropb):
             gs = part_groups if len(buckets) > 1 else ()
-            return compact_wavefront_part(state, slots, acc, buckets,
-                                          dropb, gs)
+            return compact_wavefront_part(
+                state, slots, acc, buckets, dropb, gs,
+                geom=geom if (gs and all_dyn) else None)
 
         @partial(
             jax.shard_map,
@@ -256,7 +259,8 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
             rows = None
             if pre is not None:
                 state, slots, acc, o = _compact(state, slots, acc,
-                                                pre[0], pre[1])
+                                                arrays.geom, pre[0],
+                                                pre[1])
                 over = over | o
                 rows = _partition.group_rows(part_groups, pre[0])
             b = 0
@@ -274,7 +278,8 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
                 if j < depth - 1:
                     buckets, dropb = entries[j]
                     state, slots, acc, o = _compact(state, slots, acc,
-                                                    buckets, dropb)
+                                                    arrays.geom, buckets,
+                                                    dropb)
                     over = over | o
                     rows = (_partition.group_rows(part_groups, buckets)
                             if len(buckets) > 1 else None)

@@ -396,9 +396,20 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
             body_fn, state, jnp.arange(n_bounces, dtype=jnp.uint32))
         return state, counts
 
-    def _cat_counts(state):
-        """[C] alive count per partition-layout category (ops/partition)."""
-        cat = partition.lane_layout_cat(part_groups, state.o, state.d, jnp)
+    _all_dyn = bool(part_groups) and all(g.dynamic_ok for g in part_groups)
+
+    def _cat_counts(state, geom=None):
+        """[C] alive count per partition-layout category (ops/partition).
+
+        When the groups have device-computable AABBs, categories come
+        from the CURRENT geometry — keeping probe counts consistent with
+        a training compaction whose cull AABBs track the parameters
+        (identical to the baked boxes at build-time geometry, since the
+        unions are exact min/max)."""
+        aabbs = (partition.device_group_aabbs(part_groups, geom, jnp)
+                 if (geom is not None and _all_dyn) else None)
+        cat = partition.lane_layout_cat(part_groups, state.o, state.d,
+                                        jnp, aabbs=aabbs)
         C = 1 << len(part_groups)
         one_hot = (cat[:, None] == jnp.arange(C)[None, :]) \
             & state.alive[:, None]
@@ -422,7 +433,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         see at that milestone."""
         def body(carry, i):
             nxt = bounce_step(arrays, bvh, carry, bounce0 + i)
-            return nxt, _cat_counts(nxt)
+            return nxt, _cat_counts(nxt, geom=arrays.geom)
 
         body_fn = jax.checkpoint(body) if remat else body
         state, counts = jax.lax.scan(
@@ -591,7 +602,7 @@ def flush_wavefront_drop(acc, slots, state):
 
 
 def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
-                           groups):
+                           groups, geom=None):
     """Partitioned compaction: alive lanes ordered by group-overlap
     category, each category padded to its static bucket.
 
@@ -620,6 +631,13 @@ def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
     partitioned *sweep* that follows (see make_scan_intersector's
     ``part_groups`` notes) — renders through this path agree with the
     fixed scan statistically, not bitwise.
+
+    ``geom``: when given (training), the group AABBs are recomputed from
+    the CURRENT geometry (partition.device_group_aabbs; requires every
+    group ``dynamic_ok``) instead of the baked static boxes — an
+    optimizer that moves centers/radii can never outrun the cull.  The
+    recompute rides under stop_gradient: category assignment is discrete,
+    so it carries no gradient and leaves no backward residuals.
     """
     n = state.alive.shape[0]
     n0 = acc.shape[0]
@@ -629,7 +647,12 @@ def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
     alive = state.alive
     iota = jnp.arange(n, dtype=jnp.int32)
 
-    catl = partition.lane_layout_cat(groups, state.o, state.d, jnp)
+    aabbs = None
+    if geom is not None and groups:
+        aabbs = [tuple(jax.lax.stop_gradient(x) for x in bb)
+                 for bb in partition.device_group_aabbs(groups, geom, jnp)]
+    catl = partition.lane_layout_cat(groups, state.o, state.d, jnp,
+                                     aabbs=aabbs)
     dest = jnp.full(n, b_total + drop_bucket, jnp.int32)  # default: lost
     kept = jnp.zeros(n, bool)
     n_cat = []
@@ -760,7 +783,7 @@ def schedule_from_counts(counts, n0: int):
 
 
 def schedule_from_cat_counts(pre_counts, cat_counts, n0: int, groups,
-                             n_prims: int):
+                             n_prims: int, margin: float = 0.0):
     """Partitioned per-bounce schedule from the probe's per-category
     survival counts (the partitioned analogue of schedule_from_counts).
 
@@ -780,6 +803,13 @@ def schedule_from_cat_counts(pre_counts, cat_counts, n0: int, groups,
     sweep savings beat the extra category cumsums (PART_MIN_LANES).
     Scenes whose groups every ray overlaps (e.g. a ground-spanning grid)
     fall back to plain compaction automatically.
+
+    ``margin``: symmetric drift headroom for TRAINING schedules, whose
+    probe counts go stale as the optimizer moves parameters — category
+    buckets size for counts * (1+margin) and drop regions for counts *
+    (1-margin), so survival drifting in EITHER direction stays inside
+    the schedule (inference keeps 0: its re-probe-on-overflow loop makes
+    tight buckets cheap).
     """
     C = len(pre_counts)
     G = len(groups)
@@ -793,6 +823,7 @@ def schedule_from_cat_counts(pre_counts, cat_counts, n0: int, groups,
     def rcat(n):
         if n <= 0:
             return 0
+        n = int(np.ceil(n * (1.0 + margin)))
         return -(-(n + head(n)) // catq) * catq
 
     def saved_frac(counts):
@@ -821,18 +852,21 @@ def schedule_from_cat_counts(pre_counts, cat_counts, n0: int, groups,
     entries = []
     for counts in np.asarray(cat_counts):
         tot = int(np.sum(counts))
+        # Drop headroom scales with the ALIVE count: dead-count variance
+        # equals alive-count variance, and early bounces have few drops
+        # but large alive wavefronts.  Under ``margin``, drops size for
+        # the fewer-survivors direction (tot_lo).
+        tot_lo = int(tot * (1.0 - margin))
         if worth(counts, tot):
             buckets = tuple(rcat(int(c)) for c in counts)
-            # Drop headroom scales with the ALIVE count: dead-count
-            # variance equals alive-count variance, and early bounces
-            # have few drops but large alive wavefronts.
-            db = -(-(max(cur - tot, 0) + head(tot)) // catq) * catq
+            db = -(-(max(cur - tot_lo, 0) + head(tot)) // catq) * catq
             entries.append((buckets, db))
             cur = sum(buckets)
         else:
-            b = _pick_bucket(max(tot, 1), cur, quantum)
+            b = _pick_bucket(max(int(tot * (1.0 + margin)), 1), cur,
+                             quantum)
             if b < cur:
-                db = -(-(max(cur - tot, 0) + head(tot)) // catq) * catq
+                db = -(-(max(cur - tot_lo, 0) + head(tot)) // catq) * catq
                 entries.append(((b,), db))
                 cur = b
             else:
@@ -914,19 +948,21 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     # buckets selects the plain (single-category) layout.
     part_groups = colorer.part_groups
     use_part = len(part_groups) > 0 and partition_sweep
+    _all_dyn = use_part and all(g.dynamic_ok for g in part_groups)
 
-    def _compact_part(state, slots, acc, buckets, drop_bucket):
+    def _compact_part(state, slots, acc, geom, buckets, drop_bucket):
         gs = part_groups if len(buckets) > 1 else ()
-        return compact_wavefront_part(state, slots, acc, buckets,
-                                      drop_bucket, gs)
+        return compact_wavefront_part(
+            state, slots, acc, buckets, drop_bucket, gs,
+            geom=geom if (gs and _all_dyn) else None)
 
-    compact_part_jit = jax.jit(_compact_part, static_argnums=(3, 4))
+    compact_part_jit = jax.jit(_compact_part, static_argnums=(4, 5))
     scanrows_jit = jax.jit(colorer.bounce_scan_rows,
                            static_argnums=(4, 5))
     flush_drop_jit = jax.jit(flush_wavefront_drop)
 
     def _counted_cats(arrays, bvh, state):
-        pre = colorer.cat_counts(state)
+        pre = colorer.cat_counts(state, geom=arrays.geom)
         state, counts = colorer.bounce_scan_counted_cats(
             arrays, bvh, state, jnp.uint32(0), depth)
         return state, pre, counts
@@ -1002,7 +1038,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         rows = None
         if pre is not None:
             state, slots, acc, over = compact_part_jit(
-                state, slots, acc, pre[0], pre[1])
+                state, slots, acc, arrays.geom, pre[0], pre[1])
             rows = partition.group_rows(part_groups, pre[0])
         b = 0
         while b < depth:
@@ -1018,7 +1054,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
             if j < depth - 1:
                 buckets, dropb = entries[j]
                 state, slots, acc, o = compact_part_jit(
-                    state, slots, acc, buckets, dropb)
+                    state, slots, acc, arrays.geom, buckets, dropb)
                 over = o if over is None else (over | o)
                 rows = (partition.group_rows(part_groups, buckets)
                         if len(buckets) > 1 else None)

@@ -101,9 +101,46 @@ def measure_compact_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
                                       int(np.prod(pixel_ids.shape))))
 
 
+def measure_partition_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
+                               basis, pixel_ids, sample_ids, seed=0,
+                               leaf_size: int = 4, margin: float = 0.15):
+    """Counted per-category probe -> (pre, entries) partitioned schedule
+    for ``make_loss_fn(partition_sched=...)`` — the training analogue of
+    the inference partitioned descent (render.py §partition).
+
+    Returns None when the scene has no partition groups or a group lacks
+    a device-computable AABB (``PartGroup.dynamic_ok``); fall back to
+    ``measure_compact_schedule`` then.  ``margin`` widens BOTH the
+    category buckets (more survivors) and the drop regions (fewer
+    survivors): training drifts the survival curve in either direction.
+    """
+    from .render import make_ray_colorer as _mrc
+    from .render import schedule_from_cat_counts
+
+    colorer = _mrc(scene, W, H, depth, use_bvh, leaf_size,
+                   differentiable=False)
+    pg = colorer.part_groups
+    if not pg or not all(g.dynamic_ok for g in pg):
+        return None
+    st = jax.jit(colorer.init_state)(
+        basis, pixel_ids.reshape(-1), sample_ids.reshape(-1),
+        jnp.uint32(seed))
+    pre_c = jax.jit(lambda s, g: colorer.cat_counts(s, geom=g))(
+        st, arrays.geom)
+    _, counts = jax.jit(colorer.bounce_scan_counted_cats,
+                        static_argnums=(4,))(
+        arrays, bvh, st, jnp.uint32(0), depth)
+    pre, entries = schedule_from_cat_counts(
+        np.asarray(pre_c), np.asarray(counts)[:-1],
+        int(np.prod(pixel_ids.shape)), pg, scene.static.n_prims,
+        margin=margin)
+    return pre, tuple(entries)
+
+
 def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
                  use_bvh: bool, leaf_size: int = 4, remat: bool = False,
-                 silhouette: bool = False, compact_sched=None):
+                 silhouette: bool = False, compact_sched=None,
+                 partition_sched=None):
     """loss(params, arrays, bvh, basis, pixel_ids, sample_ids, seed, target)
     = mean squared error between mean radiance and a target image
     ([W*H, 3], linear radiance, bottom-up rows).
@@ -121,13 +158,22 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
     bit-identical to the fixed scan, so gradients match; the forward
     drops the ~3x dead-lane work at depth >= 10.
 
+    ``partition_sched`` (from ``measure_partition_schedule``; overrides
+    ``compact_sched``) runs the forward as the PARTITIONED compacted
+    descent: group AABBs are recomputed on device from the current
+    geometry every milestone (compact_wavefront_part's ``geom`` arg), so
+    the cull stays conservative as the optimizer moves centers/radii.
+    Caveat inherited from the partitioned sweep: the forward (hence the
+    gradient estimate) matches the fixed scan statistically, not bitwise
+    — near-tie winner flips at ulp scale, far below MC gradient noise.
+
     Schedule-overflow safety: training moves the very parameters the
     survival curve depends on, so a bucket can eventually overflow —
     live lanes would stop bouncing early and silently bias gradients.
     The loss therefore adds ``1e6 * (any bucket overflowed)``: a
     gradient-free tripwire (the flag comes from integer compares under
     stop_gradient semantics) that makes a stale schedule unmissable in
-    the loss curve.  Re-run measure_compact_schedule when it fires."""
+    the loss curve.  Re-run the schedule probe when it fires."""
     ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
                                  remat=remat)
     if silhouette:
@@ -135,7 +181,57 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
 
         correction = make_silhouette_correction(scene, W, H, depth, use_bvh,
                                                 leaf_size)
-    if compact_sched is not None:
+    if partition_sched is not None:
+        from .ops import partition as _partition
+        from .render import compact_wavefront_part, flush_wavefront_drop
+
+        pg = ray_color.part_groups
+        assert pg and all(g.dynamic_ok for g in pg), \
+            "partition_sched requires dynamic-AABB partition groups"
+        pre, entries = partition_sched
+
+        def render(arrays, bvh, basis, pixel_ids, sample_ids, seed):
+            n0 = pixel_ids.shape[0]
+            state = ray_color.init_state(basis, pixel_ids, sample_ids,
+                                         seed)
+            acc = state.radiance * 0.0
+            slots = jnp.arange(n0, dtype=jnp.int32)
+            over = None
+            rows = None
+
+            def compact(state, slots, acc, buckets, dropb):
+                gs = pg if len(buckets) > 1 else ()
+                return compact_wavefront_part(
+                    state, slots, acc, buckets, dropb, gs,
+                    geom=arrays.geom if gs else None)
+
+            if pre is not None:
+                state, slots, acc, over = compact(state, slots, acc,
+                                                  pre[0], pre[1])
+                rows = _partition.group_rows(pg, pre[0])
+            b = 0
+            while b < depth:
+                j = b
+                while j < depth - 1 and entries[j] is None:
+                    j += 1
+                nb = j - b + 1
+                if rows is not None:
+                    state = ray_color.bounce_scan_rows(
+                        arrays, bvh, state, jnp.uint32(b), nb, rows)
+                else:
+                    state = ray_color.bounce_scan(
+                        arrays, bvh, state, jnp.uint32(b), nb)
+                if j < depth - 1:
+                    buckets, dropb = entries[j]
+                    state, slots, acc, o = compact(state, slots, acc,
+                                                   buckets, dropb)
+                    over = o if over is None else (over | o)
+                    rows = (_partition.group_rows(pg, buckets)
+                            if len(buckets) > 1 else None)
+                b = j + 1
+            return flush_wavefront_drop(acc, slots, state), over
+
+    elif compact_sched is not None:
         from .render import (
             compact_wavefront,
             flush_wavefront,
@@ -188,13 +284,15 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
 def make_train_step(scene: Scene, W: int, H: int, depth: int,
                     use_bvh: bool, leaf_size: int = 4,
                     learning_rate: float = 1e-2, remat: bool = False,
-                    silhouette: bool = False, compact_sched=None):
+                    silhouette: bool = False, compact_sched=None,
+                    partition_sched=None):
     """One adam step of inverse rendering.  Fully jittable; under a sharded
     jit the scene-parameter gradients are psum-reduced across the mesh by
     autodiff (replicated params, sharded rays)."""
     loss_fn = make_loss_fn(scene, W, H, depth, use_bvh, leaf_size,
                            remat=remat, silhouette=silhouette,
-                           compact_sched=compact_sched)
+                           compact_sched=compact_sched,
+                           partition_sched=partition_sched)
     optimizer = optax.adam(learning_rate)
 
     def init(arrays) -> TrainState:

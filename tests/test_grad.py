@@ -284,3 +284,88 @@ def test_compacted_training_overflow_tripwire(monkeypatch):
                                 compact_sched=sched))(
         params, arrays, bvh, basis, pix, sam, np.uint32(0), target)
     assert float(loss) > 1e5
+
+
+def test_partitioned_training_matches_statistically(monkeypatch):
+    """Training through the partitioned descent (device-side group AABBs)
+    must track the fixed-scan loss/gradients at MC-noise scale, and must
+    stay valid after a LARGE geometry change (the cull AABBs recompute
+    from the current parameters every milestone)."""
+    import jax.numpy as jnp
+
+    import hyper_ray_tracer_tpu.ops.partition as Pt
+    import hyper_ray_tracer_tpu.render as R
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.render import prepare_scene
+    from hyper_ray_tracer_tpu.train import (
+        extract_params,
+        make_loss_fn,
+        measure_partition_schedule,
+    )
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 32)
+    monkeypatch.setattr(Pt, "PART_MIN_LANES", 512)
+    scene = build_scene("final")
+    depth = 6
+    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh = jax.device_put((arrays, bvh))
+    basis = make_basis(scene.camera, W, H)
+    params = extract_params(arrays)
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
+    sam = jnp.zeros((SPP, W * H), jnp.int32)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    args = (arrays, bvh, basis, pix, sam, np.uint32(0), target)
+
+    psched = measure_partition_schedule(scene, W, H, depth, use_bvh,
+                                        arrays, bvh, basis, pix, sam)
+    assert psched is not None
+    pre, entries = psched
+    assert pre is not None or any(
+        e is not None and len(e[0]) > 1 for e in entries), \
+        "schedule never partitioned"
+
+    plain = jax.jit(jax.value_and_grad(
+        make_loss_fn(scene, W, H, depth, use_bvh)))
+    part = jax.jit(jax.value_and_grad(
+        make_loss_fn(scene, W, H, depth, use_bvh,
+                     partition_sched=psched)))
+    l_a, g_a = plain(params, *args)
+    l_b, g_b = part(params, *args)
+    assert float(l_b) < 1e5, "overflow tripwire fired unexpectedly"
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=2e-3)
+    fa, fb = jax.tree.leaves(g_a), jax.tree.leaves(g_b)
+    na = np.sqrt(sum(float((np.asarray(x) ** 2).sum()) for x in fa))
+    diff = np.sqrt(sum(
+        float(((np.asarray(x) - np.asarray(y)) ** 2).sum())
+        for x, y in zip(fa, fb)))
+    assert diff / max(na, 1e-9) < 0.05, f"gradient drift {diff/na:.4f}"
+
+    # Move the 1000-sphere cloud far outside its baked AABB: the device
+    # AABB recompute must keep the cull conservative (no tripwire, loss
+    # still tracks the fixed scan).
+    p0 = np.asarray(params["geom.p0"]).copy()
+    p1 = np.asarray(params["geom.p1"]).copy()
+    sl = slice(6, 1006)  # the cloud group (test_partition_groups_final)
+    p0[sl] += np.float32([300.0, -150.0, 200.0])
+    p1[sl] += np.float32([300.0, -150.0, 200.0])
+    moved = {**params, "geom.p0": jnp.asarray(p0), "geom.p1": jnp.asarray(p1)}
+    l_a2, _ = plain(moved, *args)
+    # A teleport this large exceeds any schedule margin: the CAPACITY
+    # tripwire must fire loudly (never silent bias)...
+    l_b2_stale, _ = part(moved, *args)
+    assert float(l_b2_stale) > 1e5, "stale schedule went undetected"
+    # ...and after re-probing at the moved geometry, the partitioned loss
+    # must track the fixed scan again — the device-side AABB recompute is
+    # what keeps the CULL itself conservative at the new positions (the
+    # baked static AABBs would silently skip the relocated cloud).
+    from hyper_ray_tracer_tpu.train import merge_params
+
+    arrays2 = merge_params(arrays, moved)
+    psched2 = measure_partition_schedule(scene, W, H, depth, use_bvh,
+                                         arrays2, bvh, basis, pix, sam)
+    part2 = jax.jit(jax.value_and_grad(
+        make_loss_fn(scene, W, H, depth, use_bvh,
+                     partition_sched=psched2)))
+    l_b2, _ = part2(moved, *args)
+    assert float(l_b2) < 1e5, "tripwire fired after re-probe"
+    np.testing.assert_allclose(float(l_a2), float(l_b2), rtol=5e-3)
