@@ -316,3 +316,50 @@ def test_compact_part_fuzz_synthetic():
                     state, slots, acc, buckets,
                     int(n - sum(n_cat)) - 1, gs)
             assert bool(np.asarray(over_drop))
+
+
+def test_partitioned_training_runs_sharded(final_scene, monkeypatch):
+    """The partitioned training forward must compile and run under a
+    (rays x spp) GSPMD mesh (global cumsum-packs span the sharded lane
+    axis -> XLA inserts collectives) and track the unsharded fixed scan
+    at MC scale."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as SP
+
+    from hyper_ray_tracer_tpu.parallel.mesh import (
+        AXIS_RAYS,
+        AXIS_SPP,
+        make_render_mesh,
+    )
+    from hyper_ray_tracer_tpu.train import (
+        extract_params,
+        make_loss_fn,
+        measure_partition_schedule,
+    )
+
+    monkeypatch.setattr(P, "PART_MIN_LANES", 512)
+    scene, arrays, bvh, mode, basis = final_scene
+    params = extract_params(arrays)
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32),
+                           (SPP, W * H))
+    sam = jnp.zeros((SPP, W * H), jnp.int32)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+
+    psched = measure_partition_schedule(scene, W, H, DEPTH, mode, arrays,
+                                        bvh, basis, pix, sam)
+    assert psched is not None
+    ref = jax.jit(make_loss_fn(scene, W, H, DEPTH, mode))(
+        params, arrays, bvh, basis, pix, sam, np.uint32(0), target)
+
+    mesh = make_render_mesh(4, 2)
+    idsh = NamedSharding(mesh, SP(AXIS_SPP, AXIS_RAYS))
+    repl = NamedSharding(mesh, SP())
+    loss = jax.jit(make_loss_fn(scene, W, H, DEPTH, mode,
+                                partition_sched=psched))(
+        jax.device_put(params, repl), jax.device_put(arrays, repl),
+        jax.device_put(bvh, repl), jax.device_put(basis, repl),
+        jax.device_put(pix, idsh), jax.device_put(sam, idsh),
+        np.uint32(0),
+        jax.device_put(target, NamedSharding(mesh, SP(AXIS_RAYS))))
+    assert float(loss) < 1e5, "tripwire fired under the mesh"
+    np.testing.assert_allclose(float(ref), float(loss), rtol=2e-3)
