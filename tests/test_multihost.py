@@ -1,0 +1,67 @@
+"""True multi-process image assembly: two CPU processes (gloo
+collectives), 2 local devices each, one global 4-device mesh.
+
+Each process renders only its addressable shards; gather_image's
+process_allgather leaves every host with the complete image — exercised
+here for real, not mocked.  The assembled image must equal the
+single-process renderer bit-for-bit (counter-based RNG is placement-
+independent).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_two_process_image_assembly(tmp_path):
+    port = _free_port()
+    outs = [tmp_path / f"img{p}.npy" for p in range(2)]
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "tests/multihost_worker.py", str(p), "2",
+             str(port), str(outs[p])],
+            env=env, cwd=os.getcwd(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in range(2)
+    ]
+    logs = []
+    for pr in procs:
+        out, _ = pr.communicate(timeout=600)
+        logs.append(out.decode(errors="replace"))
+    assert all(pr.returncode == 0 for pr in procs), \
+        "worker failed:\n" + "\n=====\n".join(logs)
+
+    img0 = np.load(outs[0])
+    img1 = np.load(outs[1])
+    # Every host holds the complete assembled image.
+    np.testing.assert_array_equal(img0, img1)
+
+    # And it matches the single-process render exactly.
+    import jax.numpy as jnp  # noqa: F401  (backend already CPU via conftest)
+
+    from hyper_ray_tracer_tpu import build_scene
+    from hyper_ray_tracer_tpu.render import RenderSettings, render_image
+
+    ref = render_image(build_scene("three-spheres"),
+                       RenderSettings(width=32, height=16, samples=4,
+                                      depth=4))
+    # Radiance sums are bit-identical; the two assembly helpers differ
+    # only in gamma precision (finish_image averages in f64,
+    # render._gamma_image in f32) — compare at the 1-ulp level.
+    np.testing.assert_allclose(ref, img0, rtol=0, atol=2e-7)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
