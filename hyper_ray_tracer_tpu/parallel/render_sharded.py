@@ -296,6 +296,16 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
     n_dev = int(np.prod([mesh.shape[a] for a in (AXIS_RAYS, AXIS_SPP)]))
     cache = {}  # ids shape -> (sched tuple, compiled scheduled block)
 
+    def _to_host(rad):
+        """rays-sharded global array -> full np array on every host
+        (multi-host: assemble over DCN/ICI; single-process: plain copy)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(rad, tiled=True))
+        return np.asarray(rad)
+
     def run(arrays, bvh, basis, pixel_ids, sample_ids, seed):
         """ids: [S, n_pix] global sample-major launch (divisible by the
         mesh axes).  Returns np [n_pix, 3] radiance summed over S."""
@@ -306,7 +316,7 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
             sched, block = entry
             rad, over = block(arrays, bvh, basis, pixel_ids, sample_ids,
                               seed)
-            rad = np.asarray(rad)
+            rad = _to_host(rad)
             if not int(np.asarray(over)):
                 return rad
             cache.pop(key, None)  # stale schedule: re-probe below
@@ -324,7 +334,7 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
                                   sample_ids, seed)
             sched = schedule_from_counts(np.asarray(cmax), n0_loc)
             cache[key] = (tuple(sched), _make_scheduled(tuple(sched)))
-        return np.asarray(rad)
+        return _to_host(rad)
 
     run.cache = cache  # exposed for tests / inspection
     return run

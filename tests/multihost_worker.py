@@ -50,6 +50,32 @@ def main():
     rad = run(arrays, bvh, basis, 0, SPP, 0)
     img = gather_image(rad, SPP, W, H)
     np.save(out, img)
+
+    # Also drive the sharded COMPACTING renderer cross-process: probe
+    # pass, then the scheduled descent; its _to_host all-gathers the
+    # rays-sharded sum so every host returns the full array.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as SP
+
+    from hyper_ray_tracer_tpu.parallel.mesh import AXIS_RAYS, AXIS_SPP
+    from hyper_ray_tracer_tpu.parallel.render_sharded import (
+        make_sharded_compacting_renderer,
+    )
+
+    idsh = NamedSharding(mesh, SP(AXIS_SPP, AXIS_RAYS))
+    pix = jax.device_put(
+        jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32),
+                         (SPP, W * H)), idsh)
+    sam = jax.device_put(
+        jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
+                         (SPP, W * H)), idsh)
+    crun = make_sharded_compacting_renderer(scene, W, H, DEPTH, mesh,
+                                            use_bvh)
+    probe = crun(arrays, bvh, basis, pix, sam, np.uint32(0))
+    sched = crun(arrays, bvh, basis, pix, sam, np.uint32(0))
+    np.testing.assert_array_equal(probe, sched)  # no partition groups
+    np.save(out.replace(".npy", "_compact.npy"), probe)
     print(f"worker {pid}: wrote {out}", flush=True)
     return 0
 

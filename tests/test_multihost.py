@@ -58,6 +58,16 @@ def test_two_process_image_assembly(tmp_path):
     # render._gamma_image in f32) — compare at the 1-ulp level.
     np.testing.assert_allclose(ref, img0, rtol=0, atol=2e-7)
 
+    # The sharded compacting renderer's cross-process radiance sums
+    # (probe == scheduled, all-gathered to every host) match too.
+    c0 = np.load(str(outs[0]).replace(".npy", "_compact.npy"))
+    c1 = np.load(str(outs[1]).replace(".npy", "_compact.npy"))
+    np.testing.assert_array_equal(c0, c1)
+    from hyper_ray_tracer_tpu.parallel.render_sharded import finish_image
+
+    np.testing.assert_allclose(finish_image(c0, 4, 32, 16), img0,
+                               rtol=0, atol=2e-7)
+
 
 def _free_port() -> int:
     s = socket.socket()
