@@ -65,6 +65,10 @@ def main() -> int:
         psched = measure_partition_schedule(scene, W, H, DEPTH, use_bvh,
                                             arrays, bvh, basis, pix, sam)
         print(f"# partition schedule: {psched}", file=sys.stderr)
+        if psched is None:
+            print("# no dynamic partition groups: falling back to the "
+                  "plain compacted schedule", file=sys.stderr)
+            a.compact = True
     if a.compact and psched is None:
         from hyper_ray_tracer_tpu.train import measure_compact_schedule
 

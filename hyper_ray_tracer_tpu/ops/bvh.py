@@ -390,6 +390,9 @@ def make_scan_intersector(static, host_geom=None, bf16=False,
         t_best = jnp.where(active, t_best, BIG)
         return t_best, best
 
+    # Callers must not pass rows when the plan fell back (too many tiles):
+    # render.make_ray_colorer drops its partition groups on this flag.
+    scan_all.planned = plan is not None
     return scan_all
 
 
@@ -465,6 +468,7 @@ def make_intersector(static, *, use_bvh: bool, leaf_size: int = 4,
             assert rows is None, "BVH traversal has no partitioned form"
             return trav(bvh, geom, o, d, time, t_min, ray_bits, active)
 
+        trace.planned = False
     else:
         scan = make_scan_intersector(static, host_geom, bf16=bf16,
                                      part_groups=part_groups)
@@ -473,4 +477,5 @@ def make_intersector(static, *, use_bvh: bool, leaf_size: int = 4,
                   rows=None):
             return scan(geom, o, d, time, t_min, ray_bits, active, rows)
 
+        trace.planned = scan.planned
     return trace

@@ -150,9 +150,12 @@ def device_group_aabbs(groups, geom, xp):
         assert g.dynamic_ok, "group has no device-computable AABB"
         p0 = geom.p0[g.start:g.end]
         p1 = geom.p1[g.start:g.end]
-        r = geom.radius[g.start:g.end][:, None]
-        out.append((xp.minimum(p0, p1).min(0) - xp.max(r),
-                    xp.maximum(p0, p1).max(0) + xp.max(r)))
+        # |radius|: hollow spheres are built with NEGATIVE radius
+        # (builders.py random-scene glass shell; the hit test uses r^2,
+        # the baked AABBs abs(r)) — max(r) would under-cover them.
+        r_max = xp.max(xp.abs(geom.radius[g.start:g.end]))
+        out.append((xp.minimum(p0, p1).min(0) - r_max,
+                    xp.maximum(p0, p1).max(0) + r_max))
     return out
 
 
@@ -161,13 +164,18 @@ def overlap_masks(groups, o, d, xp, aabbs=None):
 
     Conservative variant of ops.intersect.aabb_hit: |d| components are
     floored (axis-parallel rays on a slab plane produce a huge finite
-    interval -> overlap True, never a NaN miss) and the comparison is
-    non-strict, so a false *negative* — which would silently skip a real
-    hit — cannot happen; false positives only cost sweep work.
+    interval -> overlap True, never a NaN miss), the comparison is
+    non-strict, and the box is dilated by a relative epsilon so the
+    rounding of the two slab products cannot shrink the interval past a
+    primitive lying exactly on the union's face.  A false *negative* —
+    which would silently skip a real hit — is thus excluded at fp level,
+    not just for exact ties; false positives only cost sweep work.
 
     ``aabbs``: optional per-group (bmin, bmax) device arrays (training:
     device_group_aabbs) overriding the baked static boxes.
     """
+    d_safe = xp.where(xp.abs(d) < 1e-20, 1e-20, d)
+    inv = 1.0 / d_safe
     cols = []
     for i, g in enumerate(groups):
         if aabbs is not None:
@@ -175,10 +183,9 @@ def overlap_masks(groups, o, d, xp, aabbs=None):
         else:
             bmin = np.asarray(g.bmin, np.float32)
             bmax = np.asarray(g.bmax, np.float32)
-        d_safe = xp.where(xp.abs(d) < 1e-20, 1e-20, d)
-        inv = 1.0 / d_safe
-        t0 = (bmin - o) * inv
-        t1 = (bmax - o) * inv
+        pad = 1e-5 * (bmax - bmin) + 1e-6
+        t0 = (bmin - pad - o) * inv
+        t1 = (bmax + pad - o) * inv
         lo = xp.minimum(t0, t1).max(-1)
         hi = xp.maximum(t0, t1).min(-1)
         cols.append((hi >= lo) & (hi >= 0.0))

@@ -38,6 +38,7 @@ from ..render import (
     schedule_from_cat_counts,
     schedule_from_counts,
     schedule_groups,
+    schedule_segments,
 )
 from .mesh import AXIS_RAYS, AXIS_SPP
 
@@ -114,7 +115,7 @@ def make_shardmap_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4,
 
 
 def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
-                                     leaf_size=4):
+                                     leaf_size=4, partition_sweep=True):
     """Dead-ray compaction inside ``shard_map``: the multi-chip version of
     ``render.make_compacting_renderer``.
 
@@ -152,14 +153,14 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
     colorer = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
                                differentiable=False)
     part_groups = colorer.part_groups
-    use_part = len(part_groups) > 0
+    use_part = len(part_groups) > 0 and partition_sweep
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(AXIS_SPP, AXIS_RAYS),
                   P(AXIS_SPP, AXIS_RAYS), P()),
-        out_specs=((P(AXIS_RAYS), P(), P())
+        out_specs=((P(AXIS_RAYS), P(), P(), P())
                    if use_part else (P(AXIS_RAYS), P())),
     )
     def probe_block(arrays, bvh, basis, pixel_ids, sample_ids, seed):
@@ -170,6 +171,8 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
             # Partitioned probe: the worst-device per-CATEGORY counts
             # become one shared schedule, so every device compiles the
             # same static buckets/rows (SPMD requires identical shapes).
+            # Drop regions, by contrast, are largest on the device with
+            # the FEWEST survivors — also emit the pmin'd totals.
             pre = colorer.cat_counts(state, geom=arrays.geom)
             state, counts = colorer.bounce_scan_counted_cats(
                 arrays, bvh, state, jnp.uint32(0), depth)
@@ -177,7 +180,9 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
             rad = jax.lax.psum(rad, AXIS_SPP)
             pre = jax.lax.pmax(pre, (AXIS_SPP, AXIS_RAYS))
             cmax = jax.lax.pmax(counts[:-1], (AXIS_SPP, AXIS_RAYS))
-            return rad, pre, cmax
+            tmin = jax.lax.pmin(counts[:-1].sum(-1),
+                                (AXIS_SPP, AXIS_RAYS))
+            return rad, pre, cmax, tmin
         # One rolled scan over all bounces, emitting the per-bounce alive
         # counts (the full survival curve in one readback).
         state, counts = colorer.bounce_scan_counted(
@@ -263,27 +268,21 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
                                                 pre[1])
                 over = over | o
                 rows = _partition.group_rows(part_groups, pre[0])
-            b = 0
-            while b < depth:
-                j = b
-                while j < depth - 1 and entries[j] is None:
-                    j += 1
-                nb = j - b + 1
+            for b0, nb, entry in schedule_segments(entries, depth):
                 if rows is not None:
                     state = colorer.bounce_scan_rows(
-                        arrays, bvh, state, jnp.uint32(b), nb, rows)
+                        arrays, bvh, state, jnp.uint32(b0), nb, rows)
                 else:
                     state = colorer.bounce_scan(
-                        arrays, bvh, state, jnp.uint32(b), nb)
-                if j < depth - 1:
-                    buckets, dropb = entries[j]
+                        arrays, bvh, state, jnp.uint32(b0), nb)
+                if entry is not None:
+                    buckets, dropb = entry
                     state, slots, acc, o = _compact(state, slots, acc,
                                                     arrays.geom, buckets,
                                                     dropb)
                     over = over | o
                     rows = (_partition.group_rows(part_groups, buckets)
                             if len(buckets) > 1 else None)
-                b = j + 1
             acc = flush_wavefront_drop(acc, slots, state)
             rad = acc.reshape(s_loc, n_loc, 3).sum(0)
             rad = jax.lax.psum(rad, AXIS_SPP)
@@ -322,11 +321,11 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
             cache.pop(key, None)  # stale schedule: re-probe below
 
         if use_part:
-            rad, pre, cmax = probe_jit(arrays, bvh, basis, pixel_ids,
-                                       sample_ids, seed)
+            rad, pre, cmax, tmin = probe_jit(arrays, bvh, basis,
+                                             pixel_ids, sample_ids, seed)
             psched = schedule_from_cat_counts(
                 np.asarray(pre), np.asarray(cmax), n0_loc, part_groups,
-                scene.static.n_prims)
+                scene.static.n_prims, tot_min=np.asarray(tmin))
             psched = (psched[0], tuple(psched[1]))
             cache[key] = (psched, _make_scheduled_part(psched))
         else:

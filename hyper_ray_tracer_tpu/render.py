@@ -255,6 +255,11 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
             host_geom=scene.arrays.geom if mode == "sweep" else None,
             bf16=(bf16_hits and mode == "sweep"),
             part_groups=part_groups)
+        if not trace.planned:
+            # Unplanned sweep (tile plan exceeded MAX_PLAN_TILES): no
+            # ranged-tile form exists — disable partitioning rather than
+            # crash at the first rows= trace.
+            part_groups = ()
     bf16_hits = bf16_hits and mode == "sweep"
     prim_hit_t = make_prim_intersector(static)
     detail_fn = make_hit_detailer(static)
@@ -782,8 +787,25 @@ def schedule_from_counts(counts, n0: int):
     return sched
 
 
+def schedule_segments(entries, depth: int):
+    """Segment iterator for partitioned schedules: yields
+    (b0, n_bounces, entry) — run bounces [b0, b0+n) (rows apply to the
+    first bounce only, the wavefront scatters after it), then apply
+    ``entry`` (a (buckets, drop_bucket) milestone) unless None.  The
+    single shared walk for the single-chip, training, sharded, and
+    profiler descents."""
+    b = 0
+    while b < depth:
+        j = b
+        while j < depth - 1 and entries[j] is None:
+            j += 1
+        yield b, j - b + 1, (entries[j] if j < depth - 1 else None)
+        b = j + 1
+
+
 def schedule_from_cat_counts(pre_counts, cat_counts, n0: int, groups,
-                             n_prims: int, margin: float = 0.0):
+                             n_prims: int, margin: float = 0.0,
+                             tot_min=None):
     """Partitioned per-bounce schedule from the probe's per-category
     survival counts (the partitioned analogue of schedule_from_counts).
 
@@ -810,6 +832,13 @@ def schedule_from_cat_counts(pre_counts, cat_counts, n0: int, groups,
     (1-margin), so survival drifting in EITHER direction stays inside
     the schedule (inference keeps 0: its re-probe-on-overflow loop makes
     tight buckets cheap).
+
+    ``tot_min`` ([depth-1], optional): per-bounce MINIMUM total alive
+    count for drop-region sizing.  A sharded probe pmax-reduces the
+    per-category counts (buckets must fit the worst device), but drops
+    are largest on the device with the FEWEST survivors — sizing them
+    from the pmax'd sum would overflow on every other device.  Single-
+    device callers omit it (min == the one measured count).
     """
     C = len(pre_counts)
     G = len(groups)
@@ -850,13 +879,14 @@ def schedule_from_cat_counts(pre_counts, cat_counts, n0: int, groups,
         cur = sum(buckets)
 
     entries = []
-    for counts in np.asarray(cat_counts):
+    for b, counts in enumerate(np.asarray(cat_counts)):
         tot = int(np.sum(counts))
         # Drop headroom scales with the ALIVE count: dead-count variance
         # equals alive-count variance, and early bounces have few drops
         # but large alive wavefronts.  Under ``margin``, drops size for
         # the fewer-survivors direction (tot_lo).
-        tot_lo = int(tot * (1.0 - margin))
+        tot_lo = int(tot_min[b]) if tot_min is not None else tot
+        tot_lo = int(tot_lo * (1.0 - margin))
         if worth(counts, tot):
             buckets = tuple(rcat(int(c)) for c in counts)
             db = -(-(max(cur - tot_lo, 0) + head(tot)) // catq) * catq
@@ -997,7 +1027,11 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         whole per-bounce survival curve, read back in a single sync.  Its
         render is valid (identical to the fixed scan); the curve becomes
         the per-bounce bucket schedule every later pass runs sync-free."""
-        if use_part:
+        if use_part and n0 >= partition.PART_MIN_LANES:
+            # Below the lane floor the schedule could never emit a
+            # partitioned milestone — skip the per-category probe and the
+            # drop-region compaction form entirely (small/preview renders
+            # of group scenes keep the cheap exact path).
             state, pre, counts = counted_cats_jit(arrays, bvh, state)
             acc = flush_jit(acc, slots, state)
             sched = schedule_from_cat_counts(
@@ -1014,7 +1048,9 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         """Sync-free path: every dispatch is enqueued back-to-back; the
         device-side ``over`` flag records whether any bounce's alive
         count exceeded its scheduled bucket."""
-        if use_part:
+        if isinstance(sched, tuple) and len(sched) == 2 \
+                and isinstance(sched[1], (list, tuple)):
+            # (pre, entries) form recorded by the partitioned probe.
             return _run_scheduled_part(arrays, bvh, state, acc, slots,
                                        sched)
         over = None
@@ -1040,25 +1076,19 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
             state, slots, acc, over = compact_part_jit(
                 state, slots, acc, arrays.geom, pre[0], pre[1])
             rows = partition.group_rows(part_groups, pre[0])
-        b = 0
-        while b < depth:
-            j = b
-            while j < depth - 1 and entries[j] is None:
-                j += 1
-            nb = j - b + 1
+        for b0, nb, entry in schedule_segments(entries, depth):
             if rows is not None:
-                state = scanrows_jit(arrays, bvh, state, jnp.uint32(b),
+                state = scanrows_jit(arrays, bvh, state, jnp.uint32(b0),
                                      nb, rows)
             else:
-                state = scan_jit(arrays, bvh, state, jnp.uint32(b), nb)
-            if j < depth - 1:
-                buckets, dropb = entries[j]
+                state = scan_jit(arrays, bvh, state, jnp.uint32(b0), nb)
+            if entry is not None:
+                buckets, dropb = entry
                 state, slots, acc, o = compact_part_jit(
                     state, slots, acc, arrays.geom, buckets, dropb)
                 over = o if over is None else (over | o)
                 rows = (partition.group_rows(part_groups, buckets)
                         if len(buckets) > 1 else None)
-            b = j + 1
         acc = flush_drop_jit(acc, slots, state)
         return acc, over
 

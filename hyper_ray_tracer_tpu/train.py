@@ -183,7 +183,11 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
                                                 leaf_size)
     if partition_sched is not None:
         from .ops import partition as _partition
-        from .render import compact_wavefront_part, flush_wavefront_drop
+        from .render import (
+            compact_wavefront_part,
+            flush_wavefront_drop,
+            schedule_segments,
+        )
 
         pg = ray_color.part_groups
         assert pg and all(g.dynamic_ok for g in pg), \
@@ -209,26 +213,20 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
                 state, slots, acc, over = compact(state, slots, acc,
                                                   pre[0], pre[1])
                 rows = _partition.group_rows(pg, pre[0])
-            b = 0
-            while b < depth:
-                j = b
-                while j < depth - 1 and entries[j] is None:
-                    j += 1
-                nb = j - b + 1
+            for b0, nb, entry in schedule_segments(entries, depth):
                 if rows is not None:
                     state = ray_color.bounce_scan_rows(
-                        arrays, bvh, state, jnp.uint32(b), nb, rows)
+                        arrays, bvh, state, jnp.uint32(b0), nb, rows)
                 else:
                     state = ray_color.bounce_scan(
-                        arrays, bvh, state, jnp.uint32(b), nb)
-                if j < depth - 1:
-                    buckets, dropb = entries[j]
+                        arrays, bvh, state, jnp.uint32(b0), nb)
+                if entry is not None:
+                    buckets, dropb = entry
                     state, slots, acc, o = compact(state, slots, acc,
                                                    buckets, dropb)
                     over = o if over is None else (over | o)
                     rows = (_partition.group_rows(pg, buckets)
                             if len(buckets) > 1 else None)
-                b = j + 1
             return flush_wavefront_drop(acc, slots, state), over
 
     elif compact_sched is not None:

@@ -151,15 +151,16 @@ def test_schedule_overflow_falls_back(monkeypatch):
     perm = block_order(W, H)
     a = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5))
     # Sabotage the recorded schedule: shrink every bucket far below the
-    # real alive counts so every milestone overflows.  (final has
-    # partition groups, so the cache holds the (pre, entries) form; at
-    # this size every entry is a plain single-category bucket.)
+    # real alive counts so every milestone overflows.  (At this launch
+    # size — below PART_MIN_LANES — the cache holds the plain list form
+    # even though the final scene has partition groups.)
     n0 = W * H * SPP
     sched = run.schedules
     assert n0 in sched
-    pre, entries = sched[n0]
-    sched[n0] = (pre, [((64,), 64)] * len(entries))
+    orig = sched[n0]
+    assert isinstance(orig, list)
+    sched[n0] = [64 for _ in orig]
     b = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5))
     np.testing.assert_array_equal(a, b)
     # The corrupted schedule was evicted and re-recorded.
-    assert sched[n0] == (pre, entries)
+    assert sched[n0] == orig

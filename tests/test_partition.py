@@ -190,9 +190,11 @@ def test_small_wavefronts_stay_plain(final_scene, monkeypatch):
     perm = jnp.asarray(R.block_order(W, H))
     run = R.make_compacting_renderer(scene, W, H, DEPTH, mode)
     out = np.asarray(run(arrays, bvh, basis, perm, 0, SPP, np.uint32(5)))
-    (key, (pre, entries)), = run.schedules.items()
-    assert pre is None
-    assert all(e is None or len(e[0]) == 1 for e in entries)
+    (key, sched), = run.schedules.items()
+    # Below the lane floor the renderer records the PLAIN schedule form
+    # (list of int-or-None) and never touches the category machinery.
+    assert isinstance(sched, list)
+    assert all(e is None or isinstance(e, int) for e in sched)
 
 
 def test_sharded_partitioned_render(final_scene, monkeypatch):
@@ -225,10 +227,14 @@ def test_sharded_partitioned_render(final_scene, monkeypatch):
             jax.device_put(sam, idsh), np.uint32(9))
     run = make_sharded_compacting_renderer(scene, W, H, DEPTH, mesh, mode)
     probe = run(*args)
+    (key, (psched, block0)), = run.cache.items()
     s1 = run(*args)
     s2 = run(*args)
     np.testing.assert_array_equal(s1, s2)
-    (key, (psched, _)), = run.cache.items()
+    # The scheduled passes must actually have RUN scheduled (an overflow
+    # would evict + re-probe, making s1 trivially equal the probe and
+    # hiding e.g. a mis-sized drop region).
+    assert run.cache[key][1] is block0, "scheduled pass overflowed"
     pre, entries = psched
     assert any(e is not None and len(e[0]) > 1 for e in entries), \
         "sharded schedule never partitioned"

@@ -30,6 +30,7 @@ from hyper_ray_tracer_tpu.render import (
     prepare_scene,
     schedule_from_cat_counts,
     schedule_from_counts,
+    schedule_segments,
 )
 
 W, H, SPP, DEPTH = 400, 225, 16, 10
@@ -114,14 +115,7 @@ def main():
         print(f"  entry {i}: {e}", flush=True)
 
     # Segment plan: (b0, nb, entry-or-None), pre handled separately.
-    segs = []
-    b = 0
-    while b < DEPTH:
-        j = b
-        while j < DEPTH - 1 and entries[j] is None:
-            j += 1
-        segs.append((b, j - b + 1, entries[j] if j < DEPTH - 1 else None))
-        b = j + 1
+    segs = list(schedule_segments(entries, DEPTH))
 
     one = jnp.float32(1.0)
     t_sync = timeit(lambda: np.asarray(one * 1.0), reps=5)
