@@ -369,3 +369,34 @@ def test_partitioned_training_runs_sharded(final_scene, monkeypatch):
         jax.device_put(target, NamedSharding(mesh, SP(AXIS_RAYS))))
     assert float(loss) < 1e5, "tripwire fired under the mesh"
     np.testing.assert_allclose(float(ref), float(loss), rtol=2e-3)
+
+
+def test_unworthy_scene_stays_bit_identical(monkeypatch):
+    """A scene whose groups fail the worth gate (the random scene's
+    sphere run spans the whole view) must fall back to plain milestones
+    inside the partitioned machinery — and stay BITWISE identical to the
+    fixed scan (no rows are ever used; the drop-region compaction is an
+    exact permutation)."""
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 256)
+    monkeypatch.setattr(P, "PART_MIN_LANES", 1024)
+    scene = build_scene("random")
+    arrays, bvh, mode = R.prepare_scene(scene)
+    basis = make_basis(scene.camera, W, H)
+    colorer = R.make_ray_colorer(scene, W, H, DEPTH, mode,
+                                 differentiable=False)
+    assert colorer.part_groups, "random scene should have a group"
+    perm = jnp.asarray(R.block_order(W, H))
+    run = R.make_compacting_renderer(scene, W, H, DEPTH, mode)
+    probe = np.asarray(run(arrays, bvh, basis, perm, 0, SPP, np.uint32(2)))
+    (key, (pre, entries)), = run.schedules.items()
+    assert pre is None
+    assert all(e is None or len(e[0]) == 1 for e in entries), \
+        "worth gate failed to reject"
+    sched = np.asarray(run(arrays, bvh, basis, perm, 0, SPP, np.uint32(2)))
+    np.testing.assert_array_equal(probe, sched)
+    pix = jnp.tile(perm, SPP)
+    sam = jnp.repeat(jnp.arange(SPP, dtype=jnp.int32), W * H)
+    ref = np.asarray(jax.jit(colorer)(
+        arrays, bvh, basis, pix, sam, np.uint32(2))
+    ).reshape(SPP, W * H, 3).sum(0)
+    np.testing.assert_array_equal(ref, sched)
