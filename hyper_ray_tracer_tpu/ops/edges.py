@@ -32,10 +32,24 @@ Occlusion needs no special casing: the inside/outside probe rays of an
 occluded edge point both hit the occluder, so dL ~ 0 and the sample
 cancels itself.
 
-Scope (documented limitations): static spheres under a pinhole camera
-(probe rays ignore the lens; scenes with aperture get an approximate
-boundary term), primary visibility only — silhouettes seen through a
-bounce (mirror images of edges) keep the fixed-decision convention.
+Covered geometry: static spheres (silhouette = tangent-cone circle),
+rects (silhouette = the 4 boundary segments — a flat patch's visibility
+discontinuity is its outline from every viewpoint, rect.rs:53-86
+geometry) and solid boxes (12 candidate segments, silhouette-tested per
+edge: kept iff its two adjacent faces straddle front/back-facing,
+cuboid.rs:31-88 geometry; baked rigid transforms applied).  Segment
+edges are differentiable w.r.t. the rect/box parameters in geom.p0/p1 —
+an object-space shift is a world-space shift through the baked rotation,
+so box/rect POSITION gradients flow (tests/test_edges.py).
+
+Scope (documented limitations): pinhole camera (probe rays ignore the
+lens; scenes with aperture get an approximate boundary term), primary
+visibility only — silhouettes seen through a bounce (mirror images of
+edges) keep the fixed-decision convention.  Moving spheres keep it too
+(their silhouette sweeps over the shutter; the static estimator would
+need a time-sampled edge).  Media boundaries have no radiance
+discontinuity (smooth free-flight attenuation), so constant-medium
+primitives need no edge term.
 """
 
 from __future__ import annotations
@@ -44,7 +58,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.scene import PT_SPHERE
+from ..models.scene import PT_BOX, PT_RECT, PT_SPHERE
 from . import rng as prng
 from .math import sqrt_capped_grad
 
@@ -59,6 +73,37 @@ def static_sphere_ids(scene) -> np.ndarray:
     p1 = np.asarray(g.p1)[: scene.static.n_prims]
     ok = (pt == PT_SPHERE) & np.all(p0 == p1, axis=-1)
     return np.flatnonzero(ok).astype(np.int32)
+
+
+def rect_ids_of(scene) -> np.ndarray:
+    """Host-side: indices of rect primitives (always silhouette-edged)."""
+    pt = np.asarray(scene.arrays.geom.ptype)[: scene.static.n_prims]
+    return np.flatnonzero(pt == PT_RECT).astype(np.int32)
+
+
+def box_ids_of(scene) -> np.ndarray:
+    """Host-side: indices of solid-box primitives."""
+    pt = np.asarray(scene.arrays.geom.ptype)[: scene.static.n_prims]
+    return np.flatnonzero(pt == PT_BOX).astype(np.int32)
+
+
+# The 12 edges of a box: (corner_a, corner_b, face1_axis, face1_is_max,
+# face2_axis, face2_is_max).  Corner bit i set -> p1 on axis i, else p0.
+_BOX_EDGES = []
+for _a3 in range(3):
+    _a1, _a2 = (i for i in range(3) if i != _a3)
+    for _s1 in (0, 1):
+        for _s2 in (0, 1):
+            _ca = (_s1 << _a1) | (_s2 << _a2)
+            _BOX_EDGES.append((_ca, _ca | (1 << _a3), _a1, _s1, _a2, _s2))
+_BOX_EA = np.array([e[0] for e in _BOX_EDGES], np.int32)
+_BOX_EB = np.array([e[1] for e in _BOX_EDGES], np.int32)
+_BOX_FACE_AX = np.array([[e[2], e[4]] for e in _BOX_EDGES], np.int32)
+_BOX_FACE_SGN = np.array([[2 * e[3] - 1, 2 * e[5] - 1] for e in _BOX_EDGES],
+                         np.float32)
+# Corner bit pattern -> per-axis selector (1.0 = take p1). [8,3]
+_BOX_SEL = np.array([[(c >> i) & 1 for i in range(3)] for c in range(8)],
+                    np.float32)
 
 
 def _edge_xy(c, r, phi, basis, W, H):
@@ -84,9 +129,16 @@ def _edge_xy(c, r, phi, basis, W, H):
     e2 = jnp.cross(u_ax, e1)
 
     w_dir = cos_a * u_ax + sin_a * (jnp.cos(phi) * e1 + jnp.sin(phi) * e2)
+    return _dir_to_xy(w_dir, basis, W, H)
 
-    # Invert direction(s, t) = (s - 1/2) H + (t - 1/2) V - f w
-    # (camera.rs:85-94 with zero lens offset).  H, V, fw are orthogonal.
+
+def _dir_to_xy(w_dir, basis, W, H):
+    """Image coordinates [2] of the pinhole ray along ``w_dir``.
+
+    Inverts direction(s, t) = (s - 1/2) H + (t - 1/2) V - f w
+    (camera.rs:85-94 with zero lens offset).  H, V, fw are orthogonal.
+    ``cW`` < 0 means the direction points in front of the camera.
+    """
     Hv, Vv = basis.horizontal, basis.vertical
     fw = basis.origin - basis.lower_left - 0.5 * Hv - 0.5 * Vv
     cH = (w_dir * Hv).sum() / (Hv * Hv).sum()
@@ -97,30 +149,104 @@ def _edge_xy(c, r, phi, basis, W, H):
     return jnp.stack([s * (W - 1), t * (H - 1)]), cW
 
 
+def _seg_xy(pA, pB, u, basis, W, H):
+    """Image coordinates [2] of the segment point ``pA + u (pB - pA)``.
+
+    Smooth in (pA, pB, u) — the segment analogue of ``_edge_xy``.  The
+    projection of a world segment is an image segment, but xy(u) is
+    projective (not affine) in u, so arc length per sample still comes
+    from d xy / d u at each sample.
+    """
+    x = pA + u * (pB - pA)
+    return _dir_to_xy(x - basis.origin, basis, W, H)
+
+
+def _rect_corners(geom, ids):
+    """World-space corners [R, 4, 3] of rect primitives, differentiable
+    w.r.t. geom.p0/p1.  Plane tag mapping matches intersect.py's
+    ``_rect_components`` (rect.rs:54-58): axis 0 (XY): k on z; axis 1
+    (YZ): k on x; axis 2 (ZX): k on y.  Corner order walks the boundary
+    so consecutive pairs (0,1),(1,2),(2,3),(3,0) are the 4 edges.
+    """
+    p0 = geom.p0[ids]
+    p1 = geom.p1[ids]
+    a0, b0, k = p0[:, 0], p0[:, 1], p0[:, 2]
+    a1, b1 = p1[:, 0], p1[:, 1]
+    A = jnp.stack([a0, a1, a1, a0], 1)  # [R,4]
+    B = jnp.stack([b0, b0, b1, b1], 1)
+    K = jnp.broadcast_to(k[:, None], A.shape)
+    axis = geom.axis[ids][:, None]
+    x = jnp.where(axis == 0, A, jnp.where(axis == 1, K, B))
+    y = jnp.where(axis == 0, B, jnp.where(axis == 1, A, K))
+    z = jnp.where(axis == 0, K, jnp.where(axis == 1, B, A))
+    obj = jnp.stack([x, y, z], -1)  # [R,4,3]
+    return (jnp.einsum("rij,rcj->rci", geom.rot[ids], obj)
+            + geom.trans[ids][:, None, :])
+
+
+def _box_corners(geom, ids):
+    """World-space corners [B, 8, 3] of solid boxes (corner c takes p1 on
+    axis i iff bit i of c), differentiable w.r.t. geom.p0/p1."""
+    p0 = geom.p0[ids][:, None, :]  # [B,1,3]
+    p1 = geom.p1[ids][:, None, :]
+    sel = jnp.asarray(_BOX_SEL)[None]  # [1,8,3]
+    obj = p0 * (1.0 - sel) + p1 * sel
+    return (jnp.einsum("rij,rcj->rci", geom.rot[ids], obj)
+            + geom.trans[ids][:, None, :])
+
+
+def _box_silhouette_mask(geom, ids, corners, origin):
+    """[B, 12] bool: edge is a silhouette iff its two adjacent faces
+    straddle front/back-facing as seen from ``origin`` (the classic
+    mesh-edge test; primal-only decision)."""
+    rot = geom.rot[ids]  # [B,3,3]
+    # World outward normals of the two faces adjacent to each edge:
+    # sign * (world-from-object rotation applied to the face axis).
+    n = rot[:, :, _BOX_FACE_AX]  # [B,3,12,2] columns of R
+    n = jnp.moveaxis(n, 1, -1) * _BOX_FACE_SGN[None, :, :, None]  # [B,12,2,3]
+    mid = 0.5 * (corners[:, _BOX_EA] + corners[:, _BOX_EB])  # [B,12,3]
+    v = mid - origin
+    d1 = (n[:, :, 0, :] * v).sum(-1)
+    d2 = (n[:, :, 1, :] * v).sum(-1)
+    return (d1 * d2) < 0.0
+
+
 def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
-                               sphere_ids=None, n_edge: int = 64,
+                               sphere_ids=None, rect_ids=None,
+                               box_ids=None, n_edge: int = 64,
+                               n_seg: int = 16,
                                n_probe: int = 2, eps: float = 0.35):
     """Build correction(arrays, bvh, basis, seed) -> [W*H, 3].
 
-    Zero in the primal; its tangent w.r.t. arrays.geom.p0 / .radius is the
-    edge-sampled silhouette boundary gradient of the EXPECTED image (the
-    per-pixel mean radiance that render/train losses consume).
+    Zero in the primal; its tangent w.r.t. arrays.geom.p0 / .p1 / .radius
+    is the edge-sampled silhouette boundary gradient of the EXPECTED image
+    (the per-pixel mean radiance that render/train losses consume).
 
-    ``sphere_ids``: which primitives get edge terms (default: every static
-    sphere).  ``n_edge`` silhouette samples per sphere; ``n_probe``
-    independent radiance probes per side; ``eps`` probe offset from the
-    edge in pixels (bias O(eps); below ~0.2 the probes start landing on
-    the wrong side of the curve at f32 precision).
+    ``sphere_ids`` / ``rect_ids`` / ``box_ids``: which primitives get edge
+    terms (default: every static sphere, every rect, every solid box).
+    ``n_edge`` silhouette samples per sphere; ``n_seg`` samples per
+    rect/box edge segment; ``n_probe`` independent radiance probes per
+    side; ``eps`` probe offset from the edge in pixels (bias O(eps); below
+    ~0.2 the probes start landing on the wrong side of the curve at f32
+    precision).
     """
     from ..render import WavefrontState, make_ray_colorer
 
     if sphere_ids is None:
         sphere_ids = static_sphere_ids(scene)
+    if rect_ids is None:
+        rect_ids = rect_ids_of(scene)
+    if box_ids is None:
+        box_ids = box_ids_of(scene)
     sphere_ids = np.asarray(sphere_ids, np.int32)
+    rect_ids = np.asarray(rect_ids, np.int32)
+    box_ids = np.asarray(box_ids, np.int32)
     S, E = int(sphere_ids.shape[0]), int(n_edge)
+    R, B, E2 = int(rect_ids.shape[0]), int(box_ids.shape[0]), int(n_seg)
     colorer = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
                                differentiable=False)
     phis = (np.arange(E, dtype=np.float32) + 0.5) * (2.0 * np.pi / E)
+    us = (np.arange(E2, dtype=np.float32) + 0.5) * (1.0 / E2)
 
     xy_fn = jax.vmap(jax.vmap(_edge_xy, in_axes=(None, None, 0, None,
                                                  None, None)),
@@ -130,6 +256,14 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
                                           argnums=2),
                                in_axes=(None, None, 0, None)),
                       in_axes=(0, 0, None, None))
+    seg_xy_fn = jax.vmap(jax.vmap(_seg_xy, in_axes=(None, None, 0, None,
+                                                    None, None)),
+                         in_axes=(0, 0, None, None, None, None))
+    seg_tan_fn = jax.vmap(jax.vmap(jax.jacfwd(lambda a, b, u, bs:
+                                              _seg_xy(a, b, u, bs, W, H)[0],
+                                              argnums=2),
+                                   in_axes=(None, None, 0, None)),
+                          in_axes=(0, 0, None, None))
 
     def _probe_radiance(arrays, bvh, basis, xy, seed):
         """Trace pinhole rays through image points ``xy`` [M, 2] and
@@ -156,51 +290,105 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
             out = out + st.radiance
         return out / np.float32(n_probe)
 
-    def correction(arrays, bvh, basis, seed):
-        geom = arrays.geom
-        c = geom.p0[sphere_ids]  # [S,3] traced (gradient path)
-        r = geom.radius[sphere_ids]  # [S]
-        phi = jnp.asarray(phis)
+    sg = jax.lax.stop_gradient
 
-        xy, cW = xy_fn(c, r, phi, basis, W, H)  # [S,E,2], [S,E]
-        tau = tan_fn(c, r, phi, basis)  # [S,E,2] d xy / d phi
+    def _corners_center_xy(corners, basis):
+        """Primal [K, 2]: mean image position of each primitive's
+        projected corners.  The projection of a convex solid is convex,
+        so normals pointing away from the corner mean point out of the
+        silhouette."""
+        xy, _ = jax.vmap(jax.vmap(
+            lambda p, b: _dir_to_xy(p - b.origin, b, W, H),
+            in_axes=(0, None)), in_axes=(0, None))(corners, basis)
+        return xy.mean(1)
 
-        sg = jax.lax.stop_gradient
+    def _finish_part(xy, tau, cen_xy, pre_valid):
+        """From traced sample positions ``xy`` [K,M,2], primal curve
+        tangents ``tau``, a primal per-curve orientation anchor
+        ``cen_xy`` [K,1,2] (normals point away from it) and a primal
+        validity mask, produce the flat (xy traced, xy primal, normal,
+        weight, pixel) sample arrays.  ``weight`` folds the arc length
+        per sample (|tau| already includes the parameter span / count)."""
         xy_p = sg(xy)
         tau_p = sg(tau)
         tau_len = jnp.sqrt((tau_p * tau_p).sum(-1) + 1e-20)
         nrm = jnp.stack([tau_p[..., 1], -tau_p[..., 0]], -1) / (
             tau_len[..., None])
-        # Point the normal AWAY from the projected sphere center.
-        center_px = sg(xy_p.mean(1, keepdims=True))
-        flip = ((nrm * (xy_p - center_px)).sum(-1) < 0.0)
+        flip = ((nrm * (xy_p - cen_xy)).sum(-1) < 0.0)
         nrm = jnp.where(flip[..., None], -nrm, nrm)
 
-        # Validity: in front of the camera, camera outside the sphere,
-        # and landing inside the image.
-        L_cam = jnp.sqrt(((sg(c) - basis.origin) ** 2).sum(-1))
-        valid = (sg(cW) < 0.0) & (L_cam > sg(r) * 1.001)[:, None]
         ix = jnp.floor(xy_p[..., 0]).astype(jnp.int32)
         iy = jnp.floor(xy_p[..., 1]).astype(jnp.int32)
         inside_img = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))
-        valid = valid & inside_img
+        valid = pre_valid & inside_img
         pix = (jnp.clip(iy, 0, H - 1) * W
                + jnp.clip(ix, 0, W - 1)).reshape(-1)
+        wgt = (tau_len * valid.astype(jnp.float32)).reshape(-1)
+        return (xy.reshape(-1, 2), xy_p.reshape(-1, 2),
+                nrm.reshape(-1, 2), wgt, pix)
 
-        # Radiance difference across the edge.
-        flat_xy = xy_p.reshape(-1, 2)
-        flat_n = nrm.reshape(-1, 2)
+    def correction(arrays, bvh, basis, seed):
+        geom = arrays.geom
+        parts = []
+
+        if S > 0:
+            c = geom.p0[sphere_ids]  # [S,3] traced (gradient path)
+            r = geom.radius[sphere_ids]  # [S]
+            phi = jnp.asarray(phis)
+            xy, cW = xy_fn(c, r, phi, basis, W, H)  # [S,E,2], [S,E]
+            tau = tan_fn(c, r, phi, basis) * (_TWO_PI / E)
+            # In front of the camera AND camera outside the sphere.
+            L_cam = jnp.sqrt(((sg(c) - basis.origin) ** 2).sum(-1))
+            pre = (sg(cW) < 0.0) & (L_cam > sg(geom.radius[sphere_ids])
+                                    * 1.001)[:, None]
+            cen = sg(xy).mean(1, keepdims=True)
+            parts.append(_finish_part(xy, tau, cen, pre))
+
+        segA = []
+        segB = []
+        seg_cen = []
+        seg_pre = []
+        if R > 0:
+            rc = _rect_corners(geom, rect_ids)  # [R,4,3]
+            segA.append(rc.reshape(-1, 3))
+            segB.append(jnp.roll(rc, -1, axis=1).reshape(-1, 3))
+            cen_xy = _corners_center_xy(sg(rc), basis)  # [R,2]
+            seg_cen.append(jnp.repeat(cen_xy, 4, axis=0))
+            seg_pre.append(jnp.ones((R * 4,), bool))
+        if B > 0:
+            bc = _box_corners(geom, box_ids)  # [B,8,3]
+            segA.append(bc[:, _BOX_EA].reshape(-1, 3))
+            segB.append(bc[:, _BOX_EB].reshape(-1, 3))
+            cen_xy = _corners_center_xy(sg(bc), basis)  # [B,2]
+            seg_cen.append(jnp.repeat(cen_xy, 12, axis=0))
+            seg_pre.append(_box_silhouette_mask(
+                sg(geom), box_ids, sg(bc), basis.origin).reshape(-1))
+        if segA:
+            pA = jnp.concatenate(segA)  # [K,3]
+            pB = jnp.concatenate(segB)
+            u = jnp.asarray(us)
+            xy, cW = seg_xy_fn(pA, pB, u, basis, W, H)  # [K,E2,2]
+            tau = seg_tan_fn(pA, pB, u, basis) * (1.0 / E2)
+            pre = (jnp.concatenate(seg_pre)[:, None] & (sg(cW) < 0.0))
+            cen = jnp.concatenate(seg_cen)[:, None, :]
+            parts.append(_finish_part(xy, tau, cen, pre))
+
+        flat_xy = jnp.concatenate([p[0] for p in parts])
+        flat_xy_p = jnp.concatenate([p[1] for p in parts])
+        flat_n = jnp.concatenate([p[2] for p in parts])
+        wgt = jnp.concatenate([p[3] for p in parts])
+        pix = jnp.concatenate([p[4] for p in parts])
+
+        # Radiance difference across the edge (one probe batch for every
+        # curve family).
         L_in = _probe_radiance(arrays, bvh, basis,
-                               flat_xy - np.float32(eps) * flat_n, seed)
+                               flat_xy_p - np.float32(eps) * flat_n, seed)
         L_out = _probe_radiance(arrays, bvh, basis,
-                                flat_xy + np.float32(eps) * flat_n, seed)
-        dL = sg(L_in - L_out)  # [S*E, 3]
-
-        dl = (tau_len * (_TWO_PI / E)).reshape(-1)  # edge length per sample
-        w = dL * (dl * valid.reshape(-1).astype(jnp.float32))[:, None]
+                                flat_xy_p + np.float32(eps) * flat_n, seed)
+        w = sg(L_in - L_out) * wgt[:, None]
 
         # Straight-through: primal == 0, tangent == sum_k w_k (n_k . dxy_k).
-        drift = ((xy - sg(xy)).reshape(-1, 2) * flat_n).sum(-1)  # [S*E]
+        drift = ((flat_xy - flat_xy_p) * flat_n).sum(-1)
         img = jnp.zeros((W * H, 3), jnp.float32)
         img = img.at[pix].add(w * drift[:, None])
         return img
