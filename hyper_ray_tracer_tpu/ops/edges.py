@@ -42,14 +42,18 @@ edges are differentiable w.r.t. the rect/box parameters in geom.p0/p1 —
 an object-space shift is a world-space shift through the baked rotation,
 so box/rect POSITION gradients flow (tests/test_edges.py).
 
+Moving spheres are covered by TIME-SAMPLED edges: each silhouette sample
+draws a shutter time from a stratified lattice, places the circle at the
+lerped center c(t) (moving_sphere.rs semantics) and probes radiance at
+that same time, so the estimator integrates the boundary term over the
+shutter and both center endpoints receive gradients.
+
 Scope (documented limitations): pinhole camera (probe rays ignore the
 lens; scenes with aperture get an approximate boundary term), primary
 visibility only — silhouettes seen through a bounce (mirror images of
-edges) keep the fixed-decision convention.  Moving spheres keep it too
-(their silhouette sweeps over the shutter; the static estimator would
-need a time-sampled edge).  Media boundaries have no radiance
-discontinuity (smooth free-flight attenuation), so constant-medium
-primitives need no edge term.
+edges) keep the fixed-decision convention.  Media boundaries have no
+radiance discontinuity (smooth free-flight attenuation), so
+constant-medium primitives need no edge term.
 """
 
 from __future__ import annotations
@@ -73,6 +77,15 @@ def static_sphere_ids(scene) -> np.ndarray:
     p1 = np.asarray(g.p1)[: scene.static.n_prims]
     ok = (pt == PT_SPHERE) & np.all(p0 == p1, axis=-1)
     return np.flatnonzero(ok).astype(np.int32)
+
+
+def sphere_ids_of(scene) -> np.ndarray:
+    """Host-side: indices of ALL spheres, static and moving.  Moving
+    spheres get time-sampled edge terms (each silhouette sample carries a
+    shutter time; the center lerp moves the circle, moving_sphere.rs
+    semantics) so motion-blurred silhouettes are differentiable too."""
+    pt = np.asarray(scene.arrays.geom.ptype)[: scene.static.n_prims]
+    return np.flatnonzero(pt == PT_SPHERE).astype(np.int32)
 
 
 def rect_ids_of(scene) -> np.ndarray:
@@ -223,17 +236,24 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
     (the per-pixel mean radiance that render/train losses consume).
 
     ``sphere_ids`` / ``rect_ids`` / ``box_ids``: which primitives get edge
-    terms (default: every static sphere, every rect, every solid box).
-    ``n_edge`` silhouette samples per sphere; ``n_seg`` samples per
-    rect/box edge segment; ``n_probe`` independent radiance probes per
-    side; ``eps`` probe offset from the edge in pixels (bias O(eps); below
-    ~0.2 the probes start landing on the wrong side of the curve at f32
-    precision).
+    terms (default: every sphere — moving ones time-sampled — every rect,
+    every solid box).  ``n_edge`` silhouette samples per sphere; ``n_seg``
+    samples per rect/box edge segment; ``n_probe`` independent radiance
+    probes per side; ``eps`` probe offset from the edge in pixels (bias
+    O(eps); below ~0.2 the probes start landing on the wrong side of the
+    curve at f32 precision).
+
+    Moving spheres: each silhouette sample carries a shutter time (a
+    stratified lattice over [basis.time0, basis.time1), golden-ratio
+    rotated per sphere); the sampled center c(t) moves the circle and the
+    radiance probes trace at the SAME time, so the estimator integrates
+    the boundary term over the shutter — the motion-blur analogue of the
+    static estimator, differentiable w.r.t. both center endpoints.
     """
     from ..render import WavefrontState, make_ray_colorer
 
     if sphere_ids is None:
-        sphere_ids = static_sphere_ids(scene)
+        sphere_ids = sphere_ids_of(scene)
     if rect_ids is None:
         rect_ids = rect_ids_of(scene)
     if box_ids is None:
@@ -247,14 +267,21 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
                                differentiable=False)
     phis = (np.arange(E, dtype=np.float32) + 0.5) * (2.0 * np.pi / E)
     us = (np.arange(E2, dtype=np.float32) + 0.5) * (1.0 / E2)
+    # Shutter-time lattice [S, E]: stratified over the sample index,
+    # golden-ratio rotated per sphere (static spheres ignore it — their
+    # center lerp is constant).
+    tfracs = np.mod((np.arange(E, dtype=np.float64) + 0.5) / E
+                    + 0.6180339887 * np.arange(max(S, 1))[:, None],
+                    1.0).astype(np.float32)
 
-    xy_fn = jax.vmap(jax.vmap(_edge_xy, in_axes=(None, None, 0, None,
+    # inner vmap: per-sample (center_at_time, phi); outer: per sphere.
+    xy_fn = jax.vmap(jax.vmap(_edge_xy, in_axes=(0, None, 0, None,
                                                  None, None)),
                      in_axes=(0, 0, None, None, None, None))
     tan_fn = jax.vmap(jax.vmap(jax.jacfwd(lambda c, r, p, b:
                                           _edge_xy(c, r, p, b, W, H)[0],
                                           argnums=2),
-                               in_axes=(None, None, 0, None)),
+                               in_axes=(0, None, 0, None)),
                       in_axes=(0, 0, None, None))
     seg_xy_fn = jax.vmap(jax.vmap(_seg_xy, in_axes=(None, None, 0, None,
                                                     None, None)),
@@ -265,9 +292,10 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
                                    in_axes=(None, None, 0, None)),
                           in_axes=(0, 0, None, None))
 
-    def _probe_radiance(arrays, bvh, basis, xy, seed):
-        """Trace pinhole rays through image points ``xy`` [M, 2] and
-        return mean radiance over ``n_probe`` independent probes."""
+    def _probe_radiance(arrays, bvh, basis, xy, time, seed):
+        """Trace pinhole rays through image points ``xy`` [M, 2] at
+        shutter times ``time`` [M] and return mean radiance over
+        ``n_probe`` independent probes."""
         M = xy.shape[0]
         s = xy[:, 0] / np.float32(W - 1)
         t = xy[:, 1] / np.float32(H - 1)
@@ -279,7 +307,6 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
             base = prng.ray_base(seed ^ np.uint32(0x51E77E00 + p),
                                  jnp.arange(M, dtype=jnp.uint32),
                                  jnp.full((M,), p, jnp.uint32))
-            time = basis.time0 + 0.5 * (basis.time1 - basis.time0)
             zero3 = o * 0.0
             st = WavefrontState(
                 o=o, d=d, time=zero3[:, 0] + time, base=base,
@@ -330,19 +357,29 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
     def correction(arrays, bvh, basis, seed):
         geom = arrays.geom
         parts = []
+        times = []
 
         if S > 0:
-            c = geom.p0[sphere_ids]  # [S,3] traced (gradient path)
+            p0s = geom.p0[sphere_ids]  # [S,3] traced (gradient path)
+            p1s = geom.p1[sphere_ids]
             r = geom.radius[sphere_ids]  # [S]
+            # Center at each sample's shutter time (moving_sphere.rs
+            # lerp; static spheres have p1 == p0 so frac cancels).
+            tt = (basis.time0
+                  + jnp.asarray(tfracs) * (basis.time1 - basis.time0))
+            ts0 = geom.time0[sphere_ids][:, None]
+            ts1 = geom.time1[sphere_ids][:, None]
+            frac = (tt - ts0) / (ts1 - ts0)
+            c = p0s[:, None, :] + frac[..., None] * (p1s - p0s)[:, None, :]
             phi = jnp.asarray(phis)
             xy, cW = xy_fn(c, r, phi, basis, W, H)  # [S,E,2], [S,E]
             tau = tan_fn(c, r, phi, basis) * (_TWO_PI / E)
             # In front of the camera AND camera outside the sphere.
             L_cam = jnp.sqrt(((sg(c) - basis.origin) ** 2).sum(-1))
-            pre = (sg(cW) < 0.0) & (L_cam > sg(geom.radius[sphere_ids])
-                                    * 1.001)[:, None]
+            pre = (sg(cW) < 0.0) & (L_cam > sg(r)[:, None] * 1.001)
             cen = sg(xy).mean(1, keepdims=True)
             parts.append(_finish_part(xy, tau, cen, pre))
+            times.append(tt.reshape(-1))
 
         segA = []
         segB = []
@@ -372,19 +409,25 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
             pre = (jnp.concatenate(seg_pre)[:, None] & (sg(cW) < 0.0))
             cen = jnp.concatenate(seg_cen)[:, None, :]
             parts.append(_finish_part(xy, tau, cen, pre))
+            mid = basis.time0 + 0.5 * (basis.time1 - basis.time0)
+            times.append(jnp.full((xy.shape[0] * xy.shape[1],), mid,
+                                  jnp.float32))
 
         flat_xy = jnp.concatenate([p[0] for p in parts])
         flat_xy_p = jnp.concatenate([p[1] for p in parts])
         flat_n = jnp.concatenate([p[2] for p in parts])
         wgt = jnp.concatenate([p[3] for p in parts])
         pix = jnp.concatenate([p[4] for p in parts])
+        flat_t = sg(jnp.concatenate(times))
 
         # Radiance difference across the edge (one probe batch for every
         # curve family).
         L_in = _probe_radiance(arrays, bvh, basis,
-                               flat_xy_p - np.float32(eps) * flat_n, seed)
+                               flat_xy_p - np.float32(eps) * flat_n,
+                               flat_t, seed)
         L_out = _probe_radiance(arrays, bvh, basis,
-                                flat_xy_p + np.float32(eps) * flat_n, seed)
+                                flat_xy_p + np.float32(eps) * flat_n,
+                                flat_t, seed)
         w = sg(L_in - L_out) * wgt[:, None]
 
         # Straight-through: primal == 0, tangent == sum_k w_k (n_k . dxy_k).

@@ -310,6 +310,57 @@ def test_box_silhouette_mask_counts():
     assert 6 <= int(mask.sum()) <= 9, mask.sum()
 
 
+def test_moving_sphere_silhouette_grad():
+    """Time-sampled edges: a motion-blurred sphere's silhouette band is
+    differentiable w.r.t. BOTH center endpoints; the total matches FD and
+    the p1 endpoint carries roughly half the sensitivity (uniform shutter
+    lattice => mean lerp weight ~ 0.5)."""
+    b = SceneBuilder()
+    gray = b.lambertian(b.solid((0.4, 0.4, 0.4)))
+    b.moving_sphere((-0.12, 0.0, -1.0), (0.12, 0.0, -1.0), 0.0, 1.0, 0.5,
+                    gray)
+    cam = CameraConfig((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), 90.0, 0.0,
+                       focus_dist=1.0)
+    scene = b.finalize(cam, SKY, "moving-sil")
+    assert len(static_sphere_ids(scene)) == 0  # nothing static to cover
+
+    arrays, bvh, mode = prepare_scene(scene)
+    arrays, bvh = jax.device_put((arrays, bvh))
+    basis = make_basis(scene.camera, W, H)
+    ray_color = make_ray_colorer(scene, W, H, DEPTH, mode)
+    correction = make_silhouette_correction(scene, W, H, DEPTH, mode)
+    spp = 64
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (spp, W * H))
+    sam = jnp.broadcast_to(jnp.arange(spp, dtype=jnp.int32)[:, None],
+                           (spp, W * H))
+
+    def image_fn(dx0, dx1):
+        p0 = arrays.geom.p0.at[0, 0].add(dx0)
+        p1 = arrays.geom.p1.at[0, 0].add(dx1)
+        a = arrays._replace(geom=arrays.geom._replace(p0=p0, p1=p1))
+        rad = ray_color(a, bvh, basis, pix.reshape(-1), sam.reshape(-1),
+                        np.uint32(0))
+        img = rad.reshape(spp, W * H, 3).mean(0)
+        return img + correction(a, bvh, basis, np.uint32(7))
+
+    target = jax.lax.stop_gradient(image_fn(jnp.float32(0.15),
+                                            jnp.float32(0.15)))
+
+    def loss(dx0, dx1):
+        return ((image_fn(dx0, dx1) - target) ** 2).mean()
+
+    f = jax.jit(loss)
+    g0, g1 = jax.jit(jax.grad(loss, argnums=(0, 1)))(jnp.float32(0.0),
+                                                     jnp.float32(0.0))
+    g0, g1 = float(g0), float(g1)
+    eps = 0.03
+    fd = (float(f(jnp.float32(eps), jnp.float32(eps)))
+          - float(f(jnp.float32(-eps), jnp.float32(-eps)))) / (2 * eps)
+    assert abs(fd) > 1e-4, f"FD degenerate: {fd}"
+    np.testing.assert_allclose(g0 + g1, fd, rtol=0.35)
+    assert 0.2 < g1 / (g0 + g1) < 0.8, (g0, g1)
+
+
 def test_cornell_correction_primal_zero_and_grad_finite():
     """Cornell: 6 rects + 2 rotated boxes all get edge terms; the
     correction stays exactly zero in the primal and its geometry
