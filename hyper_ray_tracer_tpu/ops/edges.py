@@ -48,12 +48,18 @@ lerped center c(t) (moving_sphere.rs semantics) and probes radiance at
 that same time, so the estimator integrates the boundary term over the
 shutter and both center endpoints receive gradients.
 
-Scope (documented limitations): pinhole camera (probe rays ignore the
-lens; scenes with aperture get an approximate boundary term), primary
-visibility only — silhouettes seen through a bounce (mirror images of
-edges) keep the fixed-decision convention.  Media boundaries have no
-radiance discontinuity (smooth free-flight attenuation), so
-constant-medium primitives need no edge term.
+Defocus (camera.rs:85-94 thin lens) is handled the same way: each edge
+sample also draws a lens-disk point; the silhouette is computed FROM that
+lens point (tangent cone apex / segment viewpoint), projected along the
+lens ray onto the focal plane, and probed from the same lens point — so
+the estimator integrates the boundary term over the aperture.  With
+aperture 0 the offsets vanish and the pinhole form is recovered exactly.
+
+Scope (documented limitations): primary visibility only — silhouettes
+seen through a bounce (mirror images of edges) keep the fixed-decision
+convention.  Media boundaries have no radiance discontinuity (smooth
+free-flight attenuation), so constant-medium primitives need no edge
+term.
 """
 
 from __future__ import annotations
@@ -119,13 +125,14 @@ _BOX_SEL = np.array([[(c >> i) & 1 for i in range(3)] for c in range(8)],
                     np.float32)
 
 
-def _edge_xy(c, r, phi, basis, W, H):
-    """Image coordinates [2] of the silhouette point at angle ``phi``.
+def _edge_xy(c, r, phi, off, basis, W, H):
+    """Image coordinates [2] of the silhouette point at angle ``phi``
+    seen from lens point ``basis.origin + off``.
 
     Smooth in (c, r, phi); this is the ONLY function the boundary
     gradient differentiates through.
     """
-    origin = basis.origin
+    origin = basis.origin + off
     oc = c - origin
     L2 = (oc * oc).sum()
     L = sqrt_capped_grad(L2, jnp)
@@ -142,28 +149,40 @@ def _edge_xy(c, r, phi, basis, W, H):
     e2 = jnp.cross(u_ax, e1)
 
     w_dir = cos_a * u_ax + sin_a * (jnp.cos(phi) * e1 + jnp.sin(phi) * e2)
-    return _dir_to_xy(w_dir, basis, W, H)
+    return _ray_to_xy(w_dir, off, basis, W, H)
 
 
-def _dir_to_xy(w_dir, basis, W, H):
-    """Image coordinates [2] of the pinhole ray along ``w_dir``.
-
-    Inverts direction(s, t) = (s - 1/2) H + (t - 1/2) V - f w
-    (camera.rs:85-94 with zero lens offset).  H, V, fw are orthogonal.
-    ``cW`` < 0 means the direction points in front of the camera.
+def _ray_to_xy(d, offset, basis, W, H):
+    """Image coordinates [2] of the thin-lens ray from
+    ``basis.origin + offset`` along ``d``: the (s, t) of the focal-plane
+    point the ray passes through, inverting camera.rs:85-94
+    (direction(s, t) = llc + s H + t V - origin - offset).  H, V and
+    fw are orthogonal, so the 3x3 solve decomposes per basis vector.
+    ``cW`` < 0 means the ray points in front of the camera.
     """
     Hv, Vv = basis.horizontal, basis.vertical
     fw = basis.origin - basis.lower_left - 0.5 * Hv - 0.5 * Vv
-    cH = (w_dir * Hv).sum() / (Hv * Hv).sum()
-    cV = (w_dir * Vv).sum() / (Vv * Vv).sum()
-    cW = (w_dir * fw).sum() / (fw * fw).sum()  # negative in front
-    s = cH / (-cW) + 0.5
-    t = cV / (-cW) + 0.5
+    rel = offset + 0.5 * Hv + 0.5 * Vv + fw  # (origin + offset) - llc
+    a = (rel * Hv).sum() / (Hv * Hv).sum()
+    b = (rel * Vv).sum() / (Vv * Vv).sum()
+    c = (rel * fw).sum() / (fw * fw).sum()
+    dH = (d * Hv).sum() / (Hv * Hv).sum()
+    dV = (d * Vv).sum() / (Vv * Vv).sum()
+    cW = (d * fw).sum() / (fw * fw).sum()  # negative in front
+    lam = c / (-cW)  # ray parameter of the focal-plane crossing
+    s = a + lam * dH
+    t = b + lam * dV
     return jnp.stack([s * (W - 1), t * (H - 1)]), cW
 
 
-def _seg_xy(pA, pB, u, basis, W, H):
-    """Image coordinates [2] of the segment point ``pA + u (pB - pA)``.
+def _dir_to_xy(w_dir, basis, W, H):
+    """Pinhole special case of ``_ray_to_xy`` (zero lens offset)."""
+    return _ray_to_xy(w_dir, jnp.zeros(3, jnp.float32), basis, W, H)
+
+
+def _seg_xy(pA, pB, u, off, basis, W, H):
+    """Image coordinates [2] of the segment point ``pA + u (pB - pA)``
+    seen from lens point ``basis.origin + off``.
 
     Smooth in (pA, pB, u) — the segment analogue of ``_edge_xy``.  The
     projection of a world segment is an image segment, but xy(u) is
@@ -171,7 +190,7 @@ def _seg_xy(pA, pB, u, basis, W, H):
     from d xy / d u at each sample.
     """
     x = pA + u * (pB - pA)
-    return _dir_to_xy(x - basis.origin, basis, W, H)
+    return _ray_to_xy(x - basis.origin - off, off, basis, W, H)
 
 
 def _rect_corners(geom, ids):
@@ -208,15 +227,21 @@ def _box_corners(geom, ids):
             + geom.trans[ids][:, None, :])
 
 
+def _box_edge_normals(geom, ids):
+    """[B, 12, 2, 3] world outward normals of the two faces adjacent to
+    each box edge: sign * (world-from-object rotation column of the face
+    axis)."""
+    n = geom.rot[ids][:, :, _BOX_FACE_AX]  # [B,3,12,2] columns of R
+    return jnp.moveaxis(n, 1, -1) * _BOX_FACE_SGN[None, :, :, None]
+
+
 def _box_silhouette_mask(geom, ids, corners, origin):
     """[B, 12] bool: edge is a silhouette iff its two adjacent faces
     straddle front/back-facing as seen from ``origin`` (the classic
-    mesh-edge test; primal-only decision)."""
-    rot = geom.rot[ids]  # [B,3,3]
-    # World outward normals of the two faces adjacent to each edge:
-    # sign * (world-from-object rotation applied to the face axis).
-    n = rot[:, :, _BOX_FACE_AX]  # [B,3,12,2] columns of R
-    n = jnp.moveaxis(n, 1, -1) * _BOX_FACE_SGN[None, :, :, None]  # [B,12,2,3]
+    mesh-edge test at the edge midpoint; primal-only decision).  The
+    runtime path uses the per-SAMPLE variant (sample point + lens point)
+    inside ``correction``; this midpoint form serves diagnostics/tests."""
+    n = _box_edge_normals(geom, ids)  # [B,12,2,3]
     mid = 0.5 * (corners[:, _BOX_EA] + corners[:, _BOX_EB])  # [B,12,3]
     v = mid - origin
     d1 = (n[:, :, 0, :] * v).sum(-1)
@@ -274,34 +299,57 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
                     + 0.6180339887 * np.arange(max(S, 1))[:, None],
                     1.0).astype(np.float32)
 
-    # inner vmap: per-sample (center_at_time, phi); outer: per sphere.
-    xy_fn = jax.vmap(jax.vmap(_edge_xy, in_axes=(0, None, 0, None,
-                                                 None, None)),
-                     in_axes=(0, 0, None, None, None, None))
-    tan_fn = jax.vmap(jax.vmap(jax.jacfwd(lambda c, r, p, b:
-                                          _edge_xy(c, r, p, b, W, H)[0],
-                                          argnums=2),
-                               in_axes=(0, None, 0, None)),
-                      in_axes=(0, 0, None, None))
-    seg_xy_fn = jax.vmap(jax.vmap(_seg_xy, in_axes=(None, None, 0, None,
-                                                    None, None)),
-                         in_axes=(0, 0, None, None, None, None))
-    seg_tan_fn = jax.vmap(jax.vmap(jax.jacfwd(lambda a, b, u, bs:
-                                              _seg_xy(a, b, u, bs, W, H)[0],
-                                              argnums=2),
-                                   in_axes=(None, None, 0, None)),
-                          in_axes=(0, 0, None, None))
+    # Lens lattice: concentric-disk points per edge sample.  All-zero for
+    # a pinhole camera (aperture 0), where the estimator reduces exactly
+    # to the lens-free form; with aperture the boundary term is averaged
+    # over the lens disk and each probe traces from its sample's lens
+    # point (the defocus analogue of the time-sampled moving edge).
+    _lr = np.float32(float(scene.camera.aperture) / 2.0)
 
-    def _probe_radiance(arrays, bvh, basis, xy, time, seed):
-        """Trace pinhole rays through image points ``xy`` [M, 2] at
-        shutter times ``time`` [M] and return mean radiance over
-        ``n_probe`` independent probes."""
+    def _disk(rows, cols, salt):
+        i = np.arange(cols, dtype=np.float64) + 0.5
+        rows_i = np.arange(max(rows, 1), dtype=np.float64)[:, None]
+        u1 = np.mod(i * 0.7548776662 + 0.331 * salt * (rows_i + 1.0), 1.0)
+        u2 = np.mod(i * 0.5698402910 + 0.773 * salt * (rows_i + 2.0), 1.0)
+        rr = np.sqrt(u1)
+        th = 2.0 * np.pi * u2
+        return np.stack([rr * np.cos(th), rr * np.sin(th)],
+                        -1).astype(np.float32)
+
+    disk_sph = _disk(S, E, 1.0) * _lr  # [S,E,2]
+    disk_seg = _disk(4 * R + 12 * B, E2, 2.0) * _lr  # [K,E2,2]
+
+    # inner vmap: per-sample (center_at_time, phi, lens point); outer:
+    # per sphere / per segment.
+    xy_fn = jax.vmap(jax.vmap(_edge_xy, in_axes=(0, None, 0, 0,
+                                                 None, None, None)),
+                     in_axes=(0, 0, None, 0, None, None, None))
+    tan_fn = jax.vmap(jax.vmap(jax.jacfwd(lambda c, r, p, o, b:
+                                          _edge_xy(c, r, p, o, b, W,
+                                                   H)[0],
+                                          argnums=2),
+                               in_axes=(0, None, 0, 0, None)),
+                      in_axes=(0, 0, None, 0, None))
+    seg_xy_fn = jax.vmap(jax.vmap(_seg_xy, in_axes=(None, None, 0, 0,
+                                                    None, None, None)),
+                         in_axes=(0, 0, None, 0, None, None, None))
+    seg_tan_fn = jax.vmap(jax.vmap(jax.jacfwd(lambda a, b, u, o, bs:
+                                              _seg_xy(a, b, u, o, bs,
+                                                      W, H)[0],
+                                              argnums=2),
+                                   in_axes=(None, None, 0, 0, None)),
+                          in_axes=(0, 0, None, 0, None))
+
+    def _probe_radiance(arrays, bvh, basis, xy, time, offs, seed):
+        """Trace rays from lens points ``origin + offs`` [M, 3] through
+        focal-plane image points ``xy`` [M, 2] at shutter times ``time``
+        [M]; return mean radiance over ``n_probe`` independent probes."""
         M = xy.shape[0]
         s = xy[:, 0] / np.float32(W - 1)
         t = xy[:, 1] / np.float32(H - 1)
-        o = jnp.broadcast_to(basis.origin, (M, 3))
+        o = jnp.broadcast_to(basis.origin, (M, 3)) + offs
         d = (basis.lower_left + s[:, None] * basis.horizontal
-             + t[:, None] * basis.vertical - basis.origin)
+             + t[:, None] * basis.vertical - basis.origin - offs)
         out = jnp.zeros((M, 3), jnp.float32)
         for p in range(n_probe):
             base = prng.ray_base(seed ^ np.uint32(0x51E77E00 + p),
@@ -358,6 +406,10 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
         geom = arrays.geom
         parts = []
         times = []
+        offsets = []
+
+        def _lens_offsets(disk):
+            return (disk[..., 0:1] * basis.u + disk[..., 1:2] * basis.v)
 
         if S > 0:
             p0s = geom.p0[sphere_ids]  # [S,3] traced (gradient path)
@@ -372,46 +424,64 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
             frac = (tt - ts0) / (ts1 - ts0)
             c = p0s[:, None, :] + frac[..., None] * (p1s - p0s)[:, None, :]
             phi = jnp.asarray(phis)
-            xy, cW = xy_fn(c, r, phi, basis, W, H)  # [S,E,2], [S,E]
-            tau = tan_fn(c, r, phi, basis) * (_TWO_PI / E)
-            # In front of the camera AND camera outside the sphere.
-            L_cam = jnp.sqrt(((sg(c) - basis.origin) ** 2).sum(-1))
+            off_s = _lens_offsets(jnp.asarray(disk_sph))  # [S,E,3]
+            xy, cW = xy_fn(c, r, phi, off_s, basis, W, H)  # [S,E,2]
+            tau = tan_fn(c, r, phi, off_s, basis) * (_TWO_PI / E)
+            # In front of the camera AND lens point outside the sphere.
+            L_cam = jnp.sqrt(
+                ((sg(c) - basis.origin - off_s) ** 2).sum(-1))
             pre = (sg(cW) < 0.0) & (L_cam > sg(r)[:, None] * 1.001)
             cen = sg(xy).mean(1, keepdims=True)
             parts.append(_finish_part(xy, tau, cen, pre))
             times.append(tt.reshape(-1))
+            offsets.append(off_s.reshape(-1, 3))
 
         segA = []
         segB = []
         seg_cen = []
-        seg_pre = []
+        seg_n = []
         if R > 0:
             rc = _rect_corners(geom, rect_ids)  # [R,4,3]
             segA.append(rc.reshape(-1, 3))
             segB.append(jnp.roll(rc, -1, axis=1).reshape(-1, 3))
             cen_xy = _corners_center_xy(sg(rc), basis)  # [R,2]
             seg_cen.append(jnp.repeat(cen_xy, 4, axis=0))
-            seg_pre.append(jnp.ones((R * 4,), bool))
+            # Rect boundary segments are silhouettes from everywhere —
+            # zero normals mark "no face test".
+            seg_n.append(jnp.zeros((R * 4, 2, 3), jnp.float32))
         if B > 0:
             bc = _box_corners(geom, box_ids)  # [B,8,3]
             segA.append(bc[:, _BOX_EA].reshape(-1, 3))
             segB.append(bc[:, _BOX_EB].reshape(-1, 3))
             cen_xy = _corners_center_xy(sg(bc), basis)  # [B,2]
             seg_cen.append(jnp.repeat(cen_xy, 12, axis=0))
-            seg_pre.append(_box_silhouette_mask(
-                sg(geom), box_ids, sg(bc), basis.origin).reshape(-1))
+            seg_n.append(_box_edge_normals(
+                sg(geom), box_ids).reshape(-1, 2, 3))
         if segA:
             pA = jnp.concatenate(segA)  # [K,3]
             pB = jnp.concatenate(segB)
             u = jnp.asarray(us)
-            xy, cW = seg_xy_fn(pA, pB, u, basis, W, H)  # [K,E2,2]
-            tau = seg_tan_fn(pA, pB, u, basis) * (1.0 / E2)
-            pre = (jnp.concatenate(seg_pre)[:, None] & (sg(cW) < 0.0))
+            off_g = _lens_offsets(jnp.asarray(disk_seg))  # [K,E2,3]
+            xy, cW = seg_xy_fn(pA, pB, u, off_g, basis, W, H)  # [K,E2,2]
+            tau = seg_tan_fn(pA, pB, u, off_g, basis) * (1.0 / E2)
+            # Per-sample silhouette test for box edges: the sample point
+            # against its two adjacent face normals from ITS lens point
+            # (view-dependent, hence sample-dependent under aperture).
+            n12 = jnp.concatenate(seg_n)  # [K,2,3]
+            is_box = (n12 * n12).sum((-1, -2)) > 0.0
+            x_p = (sg(pA)[:, None, :]
+                   + u[None, :, None] * (sg(pB) - sg(pA))[:, None, :])
+            v = x_p - basis.origin - off_g
+            d1 = (n12[:, None, 0, :] * v).sum(-1)
+            d2 = (n12[:, None, 1, :] * v).sum(-1)
+            sil = jnp.where(is_box[:, None], (d1 * d2) < 0.0, True)
+            pre = sil & (sg(cW) < 0.0)
             cen = jnp.concatenate(seg_cen)[:, None, :]
             parts.append(_finish_part(xy, tau, cen, pre))
             mid = basis.time0 + 0.5 * (basis.time1 - basis.time0)
             times.append(jnp.full((xy.shape[0] * xy.shape[1],), mid,
                                   jnp.float32))
+            offsets.append(off_g.reshape(-1, 3))
 
         flat_xy = jnp.concatenate([p[0] for p in parts])
         flat_xy_p = jnp.concatenate([p[1] for p in parts])
@@ -419,15 +489,16 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
         wgt = jnp.concatenate([p[3] for p in parts])
         pix = jnp.concatenate([p[4] for p in parts])
         flat_t = sg(jnp.concatenate(times))
+        flat_off = sg(jnp.concatenate(offsets))
 
         # Radiance difference across the edge (one probe batch for every
         # curve family).
         L_in = _probe_radiance(arrays, bvh, basis,
                                flat_xy_p - np.float32(eps) * flat_n,
-                               flat_t, seed)
+                               flat_t, flat_off, seed)
         L_out = _probe_radiance(arrays, bvh, basis,
                                 flat_xy_p + np.float32(eps) * flat_n,
-                                flat_t, seed)
+                                flat_t, flat_off, seed)
         w = sg(L_in - L_out) * wgt[:, None]
 
         # Straight-through: primal == 0, tangent == sum_k w_k (n_k . dxy_k).

@@ -310,6 +310,19 @@ def test_box_silhouette_mask_counts():
     assert 6 <= int(mask.sum()) <= 9, mask.sum()
 
 
+def test_defocus_sphere_silhouette_grad():
+    """Lens-sampled edges: an OUT-of-focus sphere under aperture 0.3 has
+    its silhouette blurred over the lens disk; the estimator integrates
+    the boundary term over the aperture and still matches FD."""
+    b = SceneBuilder()
+    gray = b.lambertian(b.solid((0.4, 0.4, 0.4)))
+    b.sphere((0.0, 0.0, -1.6), 0.5, gray)
+    cam = CameraConfig((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), 90.0, 0.3,
+                       focus_dist=1.0)
+    scene = b.finalize(cam, SKY, "defocus-sil")
+    _fd_check(_setup_shift_x(scene, spp=64))
+
+
 def test_moving_sphere_silhouette_grad():
     """Time-sampled edges: a motion-blurred sphere's silhouette band is
     differentiable w.r.t. BOTH center endpoints; the total matches FD and
