@@ -12,6 +12,7 @@ its silhouette.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -392,6 +393,79 @@ def test_cornell_correction_primal_zero_and_grad_finite():
     g = np.asarray(jax.jit(jax.grad(through))(arrays.geom.p0))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0.0
+
+
+@pytest.mark.slow
+def test_light_position_recovery_through_silhouette():
+    """Condensed examples/inverse_geometry.py: recover the cornell
+    ceiling light's in-plane position — geometry the loss sees only
+    through where its bright outline falls (which paths hit the emitter
+    is discrete, so the interior gradient is ~blind to it)."""
+    import optax
+
+    from hyper_ray_tracer_tpu.models.scene import MT_DIFFUSE_LIGHT
+    from hyper_ray_tracer_tpu.train import (
+        TrainState,
+        extract_params,
+        make_loss_fn,
+    )
+
+    Wl = Hl = 48
+    SPP, DEPTHL = 2, 2
+    scene = build_scene("cornell")
+    arrays, bvh, mode = prepare_scene(scene)
+    arrays, bvh = jax.device_put((arrays, bvh))
+    basis = make_basis(scene.camera, Wl, Hl)
+    mat_of_prim = np.asarray(
+        scene.arrays.geom.material)[: scene.static.n_prims]
+    light = int(np.flatnonzero(
+        np.asarray(scene.arrays.materials.mtype)[mat_of_prim]
+        == MT_DIFFUSE_LIGHT)[0])
+
+    ray_color = make_ray_colorer(scene, Wl, Hl, DEPTHL, mode)
+    pix = jnp.broadcast_to(jnp.arange(Wl * Hl, dtype=jnp.int32),
+                           (SPP, Wl * Hl))
+    sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
+                           (SPP, Wl * Hl))
+    rad = ray_color(arrays, bvh, basis, pix.reshape(-1), sam.reshape(-1),
+                    np.uint32(0))
+    target = jax.lax.stop_gradient(rad.reshape(SPP, Wl * Hl, 3).mean(0))
+
+    tp = extract_params(arrays)
+    p0 = np.asarray(tp["geom.p0"]).copy()
+    p1 = np.asarray(tp["geom.p1"]).copy()
+    shift = np.float32([25.0, -20.0, 0.0])
+    p0[light] += shift
+    p1[light] += shift
+    params = {**tp, "geom.p0": jnp.asarray(p0), "geom.p1": jnp.asarray(p1)}
+
+    loss_fn = make_loss_fn(scene, Wl, Hl, DEPTHL, mode, silhouette=True)
+    opt = optax.adam(2.5)
+    row = (jnp.zeros((p0.shape[0], 3), jnp.float32)
+           .at[light, 0].set(1.0).at[light, 1].set(1.0))
+
+    @jax.jit
+    def step(state):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, arrays, bvh, basis, pix, sam, np.uint32(0),
+            target)
+        grads = {k: (g * row if k in ("geom.p0", "geom.p1")
+                     else jnp.zeros_like(g))
+                 for k, g in grads.items()}
+        up, opt_state = opt.update(grads, state.opt_state, state.params)
+        return TrainState(params=optax.apply_updates(state.params, up),
+                          opt_state=opt_state), loss
+
+    def err(params):
+        return float(np.abs(np.asarray(params["geom.p0"])[light]
+                            - np.asarray(tp["geom.p0"])[light]).max())
+
+    e0 = err(params)
+    state = TrainState(params=params, opt_state=opt.init(params))
+    for _ in range(35):
+        state, _ = step(state)
+    e1 = err(state.params)
+    assert e1 < 0.4 * e0, (e0, e1)
 
 
 def test_train_loss_silhouette_flag():
