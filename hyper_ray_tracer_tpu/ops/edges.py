@@ -1,4 +1,4 @@
-"""Edge-sampled silhouette gradients for sphere geometry.
+"""Edge-sampled silhouette gradients for scene geometry.
 
 The wavefront renderer's gradient convention is *fixed-decision*
 (train.py:9-16): hit/miss booleans are decided in the primal and gradients
@@ -24,7 +24,8 @@ through.
 
 The estimator is wired in as a STRAIGHT-THROUGH image correction: the
 returned [W*H, 3] image is exactly zero in the primal (x - stop_grad(x)),
-and its tangent w.r.t. (geom.p0, geom.radius) is the boundary term — so
+and its tangent w.r.t. (geom.p0, geom.p1, geom.radius) is the boundary
+term — so
 `image + correction` gives any downstream loss the full gradient by the
 chain rule, with no custom VJP.
 
@@ -403,6 +404,10 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
                 nrm.reshape(-1, 2), wgt, pix)
 
     def correction(arrays, bvh, basis, seed):
+        if S + R + B == 0:
+            # Nothing edge-worthy in the scene (e.g. pure media): the
+            # correction is identically zero rather than a crash.
+            return jnp.zeros((W * H, 3), jnp.float32)
         geom = arrays.geom
         parts = []
         times = []
