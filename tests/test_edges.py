@@ -324,6 +324,19 @@ def test_defocus_sphere_silhouette_grad():
     _fd_check(_setup_shift_x(scene, spp=64))
 
 
+def test_defocus_rect_silhouette_grad():
+    """Lens-sampled SEGMENT edges: an out-of-focus rect under aperture
+    0.3 — the segment viewpoint/projection/probes all ride the per-sample
+    lens point."""
+    b = SceneBuilder()
+    gray = b.lambertian(b.solid((0.4, 0.4, 0.4)))
+    b.rect(0, -0.4, 0.4, -0.3, 0.3, -1.6, gray)
+    cam = CameraConfig((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), 90.0, 0.3,
+                       focus_dist=1.0)
+    scene = b.finalize(cam, SKY, "rect-defocus")
+    _fd_check(_setup_shift_x(scene, spp=64))
+
+
 def test_moving_sphere_silhouette_grad():
     """Time-sampled edges: a motion-blurred sphere's silhouette band is
     differentiable w.r.t. BOTH center endpoints; the total matches FD and
