@@ -34,7 +34,7 @@ SAVED_MIN_GRID = [0.05, 0.10, 0.15, 0.25, 0.40, 1.01]  # 1.01 = never partition
 MIN_LANES_GRID = [16384, 65536, 262144]
 
 
-def time_config(scene, arrays, bvh, basis, perm, mode, reps=4):
+def time_config(scene, arrays, bvh, basis, perm, mode, reps=3):
     run = R.make_compacting_renderer(scene, W, H, DEPTH, mode)
     out = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(0))  # probe+compile
     best = float("inf")
@@ -57,7 +57,14 @@ def time_config(scene, arrays, bvh, basis, perm, mode, reps=4):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?", default="final")
+    ap.add_argument("--saved-grid", type=float, nargs="*",
+                    default=SAVED_MIN_GRID,
+                    help="PART_SAVED_MIN values to sweep")
+    ap.add_argument("--lanes-grid", type=int, nargs="*",
+                    default=MIN_LANES_GRID,
+                    help="PART_MIN_LANES values to sweep")
     a = ap.parse_args()
+    saved_grid, lanes_grid = a.saved_grid, a.lanes_grid
 
     scene = build_scene(a.scene)
     print("device:", jax.devices()[0], flush=True)
@@ -69,7 +76,7 @@ def main():
 
     base_saved, base_lanes = R.PART_SAVED_MIN, P.PART_MIN_LANES
     results = []
-    for sm in SAVED_MIN_GRID:
+    for sm in saved_grid:
         R.PART_SAVED_MIN = sm
         P.PART_MIN_LANES = base_lanes
         best, mean, nparts = time_config(scene, arrays, bvh, basis, perm,
@@ -80,7 +87,7 @@ def main():
               f"partitioned_milestones={nparts}  mean={mean:.4f}",
               flush=True)
     R.PART_SAVED_MIN = base_saved
-    for ml in MIN_LANES_GRID:
+    for ml in lanes_grid:
         if ml == base_lanes:
             continue
         P.PART_MIN_LANES = ml
