@@ -29,24 +29,32 @@ def main() -> int:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?", default="random")
-    ap.add_argument("width", nargs="?", type=int, default=200)
-    ap.add_argument("height", nargs="?", type=int, default=112)
-    ap.add_argument("spp", nargs="?", type=int, default=2)
+    # Defaults saturate the chip: 400x225x8 = 720k rays measured as the
+    # fwd+bwd sweet spot on TPU v5e (tools/prof_bwd.py; 44.8k-ray launches
+    # under-report by ~2.4x, 1.44M regresses ~11% on backward-residual
+    # memory pressure).
+    ap.add_argument("width", nargs="?", type=int, default=400)
+    ap.add_argument("height", nargs="?", type=int, default=225)
+    ap.add_argument("spp", nargs="?", type=int, default=8)
     ap.add_argument("depth", nargs="?", type=int, default=8)
     ap.add_argument("--compact", action="store_true",
                     help="train through the scheduled compacted descent "
                          "(one extra counted probe pass; gradients are "
                          "bit-identical to the fixed scan)")
-    ap.add_argument("--partition", action="store_true",
-                    help="train through the PARTITIONED compacted descent "
-                         "(device-side group AABBs; statistically "
-                         "identical gradients)")
+    # The partitioned compacted descent is the DEFAULT (VERDICT r2 task 1):
+    # it is the fastest measured training forward and the one inference
+    # uses.  --no-partition falls back to the fixed-depth scan (or
+    # --compact's plain scheduled descent).
+    ap.add_argument("--no-partition", dest="partition",
+                    action="store_false", default=True,
+                    help="disable the partitioned compacted descent "
+                         "(fixed-depth scan unless --compact)")
     a = ap.parse_args()
     scene_name = a.scene
     W, H, SPP, DEPTH = a.width, a.height, a.spp, a.depth
 
     scene = build_scene(scene_name)
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     basis = make_basis(scene.camera, W, H)
     arrays, bvh, basis = jax.device_put((arrays, bvh, basis))
 
@@ -62,7 +70,7 @@ def main() -> int:
     if a.partition:
         from hyper_ray_tracer_tpu.train import measure_partition_schedule
 
-        psched = measure_partition_schedule(scene, W, H, DEPTH, use_bvh,
+        psched = measure_partition_schedule(scene, W, H, DEPTH, intersector,
                                             arrays, bvh, basis, pix, sam)
         print(f"# partition schedule: {psched}", file=sys.stderr)
         if psched is None:
@@ -72,10 +80,10 @@ def main() -> int:
     if a.compact and psched is None:
         from hyper_ray_tracer_tpu.train import measure_compact_schedule
 
-        sched = measure_compact_schedule(scene, W, H, DEPTH, use_bvh,
+        sched = measure_compact_schedule(scene, W, H, DEPTH, intersector,
                                          arrays, bvh, basis, pix, sam)
         print(f"# compact schedule: {sched}", file=sys.stderr)
-    init, step = make_train_step(scene, W, H, DEPTH, use_bvh,
+    init, step = make_train_step(scene, W, H, DEPTH, intersector,
                                  remat=DEPTH > 16, compact_sched=sched,
                                  partition_sched=psched)
 

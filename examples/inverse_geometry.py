@@ -71,7 +71,7 @@ def main(argv=None) -> int:
     out.mkdir(parents=True, exist_ok=True)
 
     scene = build_scene("cornell")
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     basis = make_basis(scene.camera, W, H)
     arrays, bvh, basis = jax.device_put((arrays, bvh, basis))
 
@@ -84,7 +84,7 @@ def main(argv=None) -> int:
         mtypes[mat_of_prim] == MT_DIFFUSE_LIGHT)[0])
     print(f"light = primitive {light}")
 
-    ray_color = make_ray_colorer(scene, W, H, DEPTH, use_bvh)
+    ray_color = make_ray_colorer(scene, W, H, DEPTH, intersector)
     pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
     sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
                            (SPP, W * H))
@@ -115,7 +115,7 @@ def main(argv=None) -> int:
                "geom.p1": jnp.asarray(p1)}
     to_png(out / "initial.png", render_mean(merge_params(arrays, params0)))
 
-    loss_fn = make_loss_fn(scene, W, H, DEPTH, use_bvh, silhouette=True)
+    loss_fn = make_loss_fn(scene, W, H, DEPTH, intersector, silhouette=True)
     optimizer = optax.adam(args.lr)
 
     # Only the light rect's IN-PLANE parameters move (components 0, 1 =

@@ -57,11 +57,11 @@ def main(argv=None) -> int:
     out.mkdir(parents=True, exist_ok=True)
 
     scene = build_scene("three-spheres")
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     basis = make_basis(scene.camera, W, H)
     arrays, bvh, basis = jax.device_put((arrays, bvh, basis))
 
-    ray_color = make_ray_colorer(scene, W, H, DEPTH, use_bvh)
+    ray_color = make_ray_colorer(scene, W, H, DEPTH, intersector)
     pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
     sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
                            (SPP, W * H))
@@ -104,7 +104,7 @@ def main(argv=None) -> int:
     from hyper_ray_tracer_tpu.train import TrainState, make_loss_fn
 
     free = ("textures.color1", "materials.albedo", "materials.fuzz")
-    loss_fn = make_loss_fn(scene, W, H, DEPTH, use_bvh)
+    loss_fn = make_loss_fn(scene, W, H, DEPTH, intersector)
     optimizer = optax.adam(args.lr)
 
     def masked_step(state, arrays, bvh, basis, pix, sam, seed, target):

@@ -44,8 +44,14 @@ def main(argv=None) -> int:
                         help="Checkpoint file; resumes if it exists")
     parser.add_argument("--preview", default=None,
                         help="Progressive preview PNG updated per chunk")
+    parser.add_argument("--intersector", default="auto",
+                        choices=["auto", "sweep", "cluster", "bvh"],
+                        help="Intersector mode (auto = measured policy: "
+                             "cluster culling above ~30k primitives, plain "
+                             "tiled sweep otherwise; bvh = parity mode)")
     parser.add_argument("--no-bvh", action="store_true",
-                        help="Force the brute-force intersector")
+                        help="Deprecated: same as --intersector auto "
+                             "(auto never picks bvh)")
     parser.add_argument("--no-partition", action="store_true",
                         help="Disable the partitioned sweep (exact plain-"
                              "sweep renders; see RenderSettings.partition)")
@@ -72,6 +78,10 @@ def main(argv=None) -> int:
     from .render import RenderSettings, render_image
     from .utils.image import write_png
 
+    if args.no_bvh:
+        log.warning("--no-bvh is deprecated; it now means --intersector "
+                    "auto (auto never picks the bvh parity mode)")
+
     log.info("Generating world...")
     scene = build_scene(args.scene)
     log.info("Generated world (%d primitives)", scene.static.n_prims)
@@ -79,7 +89,7 @@ def main(argv=None) -> int:
     settings = RenderSettings(
         width=args.width, height=args.height, samples=args.samples,
         depth=args.depth, seed=args.seed, spp_chunk=args.spp_chunk,
-        use_bvh=False if args.no_bvh else None, leaf_size=args.leaf_size,
+        intersector=args.intersector, leaf_size=args.leaf_size,
         checkpoint_path=args.checkpoint, preview_path=args.preview,
         partition=not args.no_partition,
     )

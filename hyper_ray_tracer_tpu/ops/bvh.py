@@ -450,7 +450,7 @@ def make_bvh_traverser(static, leaf_size: int):
     return traverse
 
 
-def make_intersector(static, *, use_bvh: bool, leaf_size: int = 4,
+def make_intersector(static, *, bvh_mode: bool, leaf_size: int = 4,
                      host_geom=None, bf16=False, part_groups=()):
     """Unified interface: trace(geom, bvh, o, d, time, t_min, ray_bits,
     active, rows=None) -> (t, prim).
@@ -460,7 +460,7 @@ def make_intersector(static, *, use_bvh: bool, leaf_size: int = 4,
     ``bf16`` (scan path only): bf16 candidate hit tests (module-top notes).
     ``part_groups`` (scan path only): enables the ``rows`` argument — the
     statically-ranged partitioned sweep (make_scan_intersector)."""
-    if use_bvh:
+    if bvh_mode:
         trav = make_bvh_traverser(static, leaf_size)
 
         def trace(geom, bvh, o, d, time, t_min, ray_bits, active,

@@ -250,7 +250,7 @@ def _box_silhouette_mask(geom, ids, corners, origin):
     return (d1 * d2) < 0.0
 
 
-def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
+def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                                sphere_ids=None, rect_ids=None,
                                box_ids=None, n_edge: int = 64,
                                n_seg: int = 16,
@@ -289,7 +289,7 @@ def make_silhouette_correction(scene, W, H, depth, use_bvh, leaf_size=4,
     box_ids = np.asarray(box_ids, np.int32)
     S, E = int(sphere_ids.shape[0]), int(n_edge)
     R, B, E2 = int(rect_ids.shape[0]), int(box_ids.shape[0]), int(n_seg)
-    colorer = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
+    colorer = make_ray_colorer(scene, W, H, depth, intersector, leaf_size,
                                differentiable=False)
     phis = (np.arange(E, dtype=np.float32) + 0.5) * (2.0 * np.pi / E)
     us = (np.arange(E2, dtype=np.float32) + 0.5) * (1.0 / E2)

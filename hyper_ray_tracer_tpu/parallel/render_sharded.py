@@ -54,7 +54,7 @@ def _ids_for_block(W, H, sample0, n_samples):
     return pixel_ids, sample_ids
 
 
-def make_pjit_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4,
+def make_pjit_renderer(scene, W, H, depth, mesh, intersector, leaf_size=4,
                        differentiable=False):
     """GSPMD path: returns render(arrays, bvh, basis, sample0, seed) ->
     [W*H, 3] radiance sum over ``n_samples`` samples.
@@ -62,7 +62,7 @@ def make_pjit_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4,
     ``n_samples`` is fixed at build time (static shape); ray ids are laid
     out [S, W*H] and sharded (spp, rays).
     """
-    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
+    ray_color = make_ray_colorer(scene, W, H, depth, intersector, leaf_size,
                                  differentiable=differentiable)
     id_sharding = NamedSharding(mesh, P(AXIS_SPP, AXIS_RAYS))
     out_sharding = NamedSharding(mesh, P(AXIS_RAYS))
@@ -85,7 +85,7 @@ def make_pjit_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4,
     return run
 
 
-def make_shardmap_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4,
+def make_shardmap_renderer(scene, W, H, depth, mesh, intersector, leaf_size=4,
                            differentiable=False):
     """Explicit shard_map path with spp-axis psum.
 
@@ -93,7 +93,7 @@ def make_shardmap_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4,
     [W*H, 3] radiance sum; pixel/sample ids are [S, W*H] and must be
     divisible by the mesh axes.
     """
-    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
+    ray_color = make_ray_colorer(scene, W, H, depth, intersector, leaf_size,
                                  differentiable=differentiable)
 
     @partial(
@@ -114,7 +114,7 @@ def make_shardmap_renderer(scene, W, H, depth, mesh, use_bvh, leaf_size=4,
     return jax.jit(render_block)
 
 
-def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
+def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
                                      leaf_size=4, partition_sweep=True):
     """Dead-ray compaction inside ``shard_map``: the multi-chip version of
     ``render.make_compacting_renderer``.
@@ -150,7 +150,7 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, use_bvh,
     (`/root/reference/src/application.rs:393-475`), executed as static
     SPMD instead of a work queue.
     """
-    colorer = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
+    colorer = make_ray_colorer(scene, W, H, depth, intersector, leaf_size,
                                differentiable=False)
     part_groups = colorer.part_groups
     use_part = len(part_groups) > 0 and partition_sweep

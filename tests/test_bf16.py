@@ -31,8 +31,8 @@ SCENES = [
 @pytest.mark.parametrize("name,s,bound", SCENES)
 def test_bf16_image_close_to_f32(name, s, bound):
     scene = build_scene(name)
-    img32 = render_image(scene, RenderSettings(**s, use_bvh="sweep"))
-    img16 = render_image(scene, RenderSettings(**s, use_bvh="sweep",
+    img32 = render_image(scene, RenderSettings(**s, intersector="sweep"))
+    img16 = render_image(scene, RenderSettings(**s, intersector="sweep",
                                                bf16_hits=True))
     assert img16.shape == img32.shape
     assert np.isfinite(img16).all()
@@ -44,8 +44,8 @@ def test_bf16_flag_is_sweep_only():
     """cluster/bvh modes ignore the flag (documented no-op, not an error)."""
     s = dict(width=16, height=10, samples=2, depth=3)
     scene = build_scene("cornell")
-    a = render_image(scene, RenderSettings(**s, use_bvh="bvh"))
-    b = render_image(scene, RenderSettings(**s, use_bvh="bvh",
+    a = render_image(scene, RenderSettings(**s, intersector="bvh"))
+    b = render_image(scene, RenderSettings(**s, intersector="bvh",
                                            bf16_hits=True))
     np.testing.assert_array_equal(a, b)
 

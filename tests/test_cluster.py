@@ -91,8 +91,8 @@ def test_eligibility():
 ])
 def test_cluster_equals_sweep(name, s):
     scene = build_scene(name)
-    img_sweep = render_image(scene, RenderSettings(**s, use_bvh="sweep"))
-    img_clus = render_image(scene, RenderSettings(**s, use_bvh="cluster"))
+    img_sweep = render_image(scene, RenderSettings(**s, intersector="sweep"))
+    img_clus = render_image(scene, RenderSettings(**s, intersector="cluster"))
     # Same math modulo fold order; XLA may fuse differently, so allclose
     # rather than bitwise (observed bit-identical on CPU).
     np.testing.assert_allclose(img_clus, img_sweep, atol=1e-5, rtol=0)
@@ -103,8 +103,8 @@ def test_cluster_forced_on_small_scene():
     (no runs) and must still render correctly."""
     scene = build_scene("cornell")
     s = dict(width=20, height=12, samples=1, depth=4)
-    img_sweep = render_image(scene, RenderSettings(**s, use_bvh="sweep"))
-    img_clus = render_image(scene, RenderSettings(**s, use_bvh="cluster"))
+    img_sweep = render_image(scene, RenderSettings(**s, intersector="sweep"))
+    img_clus = render_image(scene, RenderSettings(**s, intersector="cluster"))
     np.testing.assert_allclose(img_clus, img_sweep, atol=1e-5, rtol=0)
 
 

@@ -29,12 +29,12 @@ def _setup(name, depth=DEPTH, pixel_mask=None):
     decision (train.py docstring).
     """
     scene = build_scene(name)
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     arrays, bvh = jax.device_put((arrays, bvh))  # closure-captured below
     basis = make_basis(scene.camera, W, H)
     from hyper_ray_tracer_tpu.render import make_ray_colorer
 
-    ray_color = make_ray_colorer(scene, W, H, depth, use_bvh)
+    ray_color = make_ray_colorer(scene, W, H, depth, intersector)
     params0 = extract_params(arrays)
     pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
     sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
@@ -187,7 +187,7 @@ def test_remat_gradients_match():
     from hyper_ray_tracer_tpu.train import extract_params, make_loss_fn
 
     scene = build_scene("three-spheres")
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     arrays, bvh = jax.device_put((arrays, bvh))
     basis = make_basis(scene.camera, W, H)
     params = extract_params(arrays)
@@ -196,9 +196,9 @@ def test_remat_gradients_match():
     target = jnp.zeros((W * H, 3), jnp.float32)
     args = (arrays, bvh, basis, pix, sam, np.uint32(0), target)
 
-    g_plain = jax.jit(jax.grad(make_loss_fn(scene, W, H, 6, use_bvh)))(
+    g_plain = jax.jit(jax.grad(make_loss_fn(scene, W, H, 6, intersector)))(
         params, *args)
-    g_remat = jax.jit(jax.grad(make_loss_fn(scene, W, H, 6, use_bvh,
+    g_remat = jax.jit(jax.grad(make_loss_fn(scene, W, H, 6, intersector,
                                             remat=True)))(params, *args)
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
@@ -223,7 +223,7 @@ def test_compacted_gradients_match(monkeypatch):
     monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 32)
     scene = build_scene("final")  # media + every material lane
     depth = 8
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     arrays, bvh = jax.device_put((arrays, bvh))
     basis = make_basis(scene.camera, W, H)
     params = extract_params(arrays)
@@ -232,14 +232,14 @@ def test_compacted_gradients_match(monkeypatch):
     target = jnp.zeros((W * H, 3), jnp.float32)
     args = (arrays, bvh, basis, pix, sam, np.uint32(0), target)
 
-    sched = measure_compact_schedule(scene, W, H, depth, use_bvh, arrays,
+    sched = measure_compact_schedule(scene, W, H, depth, intersector, arrays,
                                      bvh, basis, pix, sam)
     assert any(b is not None for b in sched), "schedule never compacts"
 
     plain = jax.jit(jax.value_and_grad(
-        make_loss_fn(scene, W, H, depth, use_bvh)))
+        make_loss_fn(scene, W, H, depth, intersector)))
     compact = jax.jit(jax.value_and_grad(
-        make_loss_fn(scene, W, H, depth, use_bvh, compact_sched=sched)))
+        make_loss_fn(scene, W, H, depth, intersector, compact_sched=sched)))
     l_a, g_a = plain(params, *args)
     l_b, g_b = compact(params, *args)
     np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
@@ -272,7 +272,7 @@ def test_compacted_training_overflow_tripwire(monkeypatch):
     monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 32)
     scene = build_scene("final")
     depth = 6
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     basis = make_basis(scene.camera, W, H)
     params = extract_params(arrays)
     pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
@@ -280,7 +280,7 @@ def test_compacted_training_overflow_tripwire(monkeypatch):
     target = jnp.zeros((W * H, 3), jnp.float32)
     # Absurdly small buckets: every milestone overflows.
     sched = (32,) * (depth - 1)
-    loss = jax.jit(make_loss_fn(scene, W, H, depth, use_bvh,
+    loss = jax.jit(make_loss_fn(scene, W, H, depth, intersector,
                                 compact_sched=sched))(
         params, arrays, bvh, basis, pix, sam, np.uint32(0), target)
     assert float(loss) > 1e5
@@ -307,7 +307,7 @@ def test_partitioned_training_matches_statistically(monkeypatch):
     monkeypatch.setattr(Pt, "PART_MIN_LANES", 512)
     scene = build_scene("final")
     depth = 6
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     arrays, bvh = jax.device_put((arrays, bvh))
     basis = make_basis(scene.camera, W, H)
     params = extract_params(arrays)
@@ -316,7 +316,7 @@ def test_partitioned_training_matches_statistically(monkeypatch):
     target = jnp.zeros((W * H, 3), jnp.float32)
     args = (arrays, bvh, basis, pix, sam, np.uint32(0), target)
 
-    psched = measure_partition_schedule(scene, W, H, depth, use_bvh,
+    psched = measure_partition_schedule(scene, W, H, depth, intersector,
                                         arrays, bvh, basis, pix, sam)
     assert psched is not None
     pre, entries = psched
@@ -325,9 +325,9 @@ def test_partitioned_training_matches_statistically(monkeypatch):
         "schedule never partitioned"
 
     plain = jax.jit(jax.value_and_grad(
-        make_loss_fn(scene, W, H, depth, use_bvh)))
+        make_loss_fn(scene, W, H, depth, intersector)))
     part = jax.jit(jax.value_and_grad(
-        make_loss_fn(scene, W, H, depth, use_bvh,
+        make_loss_fn(scene, W, H, depth, intersector,
                      partition_sched=psched)))
     l_a, g_a = plain(params, *args)
     l_b, g_b = part(params, *args)
@@ -361,10 +361,10 @@ def test_partitioned_training_matches_statistically(monkeypatch):
     from hyper_ray_tracer_tpu.train import merge_params
 
     arrays2 = merge_params(arrays, moved)
-    psched2 = measure_partition_schedule(scene, W, H, depth, use_bvh,
+    psched2 = measure_partition_schedule(scene, W, H, depth, intersector,
                                          arrays2, bvh, basis, pix, sam)
     part2 = jax.jit(jax.value_and_grad(
-        make_loss_fn(scene, W, H, depth, use_bvh,
+        make_loss_fn(scene, W, H, depth, intersector,
                      partition_sched=psched2)))
     l_b2, _ = part2(moved, *args)
     assert float(l_b2) < 1e5, "tripwire fired after re-probe"

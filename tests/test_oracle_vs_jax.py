@@ -38,7 +38,7 @@ def test_scene_parity(name, W, H, spp, depth, bvh):
     scene = build_scene(name)
     img_j = render_image(
         scene, RenderSettings(width=W, height=H, samples=spp, depth=depth,
-                              use_bvh=bvh)
+                              intersector=bvh)
     )
     img_o = Oracle(scene, W, H).render(spp, depth)
     err = np.abs(img_j - img_o)
@@ -66,8 +66,8 @@ def test_bvh_equals_scan_full_pipeline():
     """The same image must come out with and without the BVH."""
     scene = build_scene("random")
     s = dict(width=20, height=12, samples=2, depth=4)
-    img_scan = render_image(scene, RenderSettings(**s, use_bvh=False))
-    img_bvh = render_image(scene, RenderSettings(**s, use_bvh=True))
+    img_scan = render_image(scene, RenderSettings(**s, intersector=False))
+    img_bvh = render_image(scene, RenderSettings(**s, intersector=True))
     np.testing.assert_allclose(img_scan, img_bvh, atol=5e-4)
 
 

@@ -400,3 +400,49 @@ def test_unworthy_scene_stays_bit_identical(monkeypatch):
         arrays, bvh, basis, pix, sam, np.uint32(2))
     ).reshape(SPP, W * H, 3).sum(0)
     np.testing.assert_array_equal(ref, sched)
+
+
+def test_partitioned_checkpoint_resume_bit_identical(tmp_path):
+    """Default-settings (partition=True) resume is BIT-identical: the
+    checkpoint records the bucket schedules, and the resumed process
+    replays them instead of re-probing (VERDICT r2 weak #5).  Also
+    checks the schedule JSON round-trip used by the checkpoint meta."""
+    scene = build_scene("final")
+    ck = str(tmp_path / "part.ckpt")
+    mk = lambda samples, ckpt=None: R.RenderSettings(
+        width=W, height=H, samples=samples, depth=DEPTH, seed=3,
+        spp_chunk=SPP, checkpoint_path=ckpt)
+    full = R.render_image(scene, mk(3 * SPP))
+    # Interrupt after one chunk, then resume for the remaining two.
+    R.render_image(scene, mk(SPP, ck))
+    resumed = R.render_image(scene, mk(3 * SPP, ck))
+    np.testing.assert_array_equal(full, resumed)
+
+
+def test_checkpoint_mode_mismatch_rejected(tmp_path):
+    """A checkpoint written under partition=True must not be blended
+    into a partition=False render (and vice versa): the meta records the
+    effective mode and the mismatch starts fresh."""
+    from hyper_ray_tracer_tpu.utils import checkpoint as ckpt
+
+    scene = build_scene("final")
+    ck = str(tmp_path / "m.ckpt")
+    R.render_image(scene, R.RenderSettings(
+        width=W, height=H, samples=SPP, depth=DEPTH, seed=3,
+        spp_chunk=SPP, checkpoint_path=ck))
+    _, done, meta = ckpt.load_state(ck)
+    assert meta["partition"] is True and meta["intersector"] == "sweep"
+    assert "schedules" in meta and meta["schedules"]
+    # Round-trip: canonical -> json -> canonical is the identity.
+    for v in meta["schedules"].values():
+        s = R.sched_from_json(v)
+        assert R.sched_from_json(R.sched_to_json(s)) == s
+    # Resume under partition=False: must reject and restart at 0 spp,
+    # ending with exactly `samples` fresh samples (not a blend).
+    out = R.render_image(scene, R.RenderSettings(
+        width=W, height=H, samples=2 * SPP, depth=DEPTH, seed=3,
+        spp_chunk=SPP, checkpoint_path=ck, partition=False))
+    ref = R.render_image(scene, R.RenderSettings(
+        width=W, height=H, samples=2 * SPP, depth=DEPTH, seed=3,
+        spp_chunk=SPP, partition=False))
+    np.testing.assert_array_equal(out, ref)

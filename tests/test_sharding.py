@@ -31,11 +31,11 @@ W, H, DEPTH, SPP = 32, 16, 4, 4  # W*H divisible by 8, SPP by 2
 @pytest.fixture(scope="module")
 def setup():
     scene = build_scene("three-spheres")
-    arrays, bvh, use_bvh = prepare_scene(scene)
+    arrays, bvh, intersector = prepare_scene(scene)
     basis = make_basis(scene.camera, W, H)
     ref = render_image(scene, RenderSettings(width=W, height=H, samples=SPP,
                                              depth=DEPTH))
-    return scene, arrays, bvh, use_bvh, basis, ref
+    return scene, arrays, bvh, intersector, basis, ref
 
 
 def test_devices_available():
@@ -43,19 +43,19 @@ def test_devices_available():
 
 
 def test_pjit_renderer_matches_single_device(setup):
-    scene, arrays, bvh, use_bvh, basis, ref = setup
+    scene, arrays, bvh, intersector, basis, ref = setup
     for shape in [(8, 1), (4, 2), (2, 4)]:
         mesh = make_render_mesh(*shape)
-        run = make_pjit_renderer(scene, W, H, DEPTH, mesh, use_bvh)
+        run = make_pjit_renderer(scene, W, H, DEPTH, mesh, intersector)
         rad = run(arrays, bvh, basis, np.int32(0), SPP, 0)
         img = gather_image(rad, SPP, W, H)
         np.testing.assert_allclose(img, ref, atol=2e-6), shape
 
 
 def test_shardmap_renderer_matches_single_device(setup):
-    scene, arrays, bvh, use_bvh, basis, ref = setup
+    scene, arrays, bvh, intersector, basis, ref = setup
     mesh = make_render_mesh(4, 2)
-    render = make_shardmap_renderer(scene, W, H, DEPTH, mesh, use_bvh)
+    render = make_shardmap_renderer(scene, W, H, DEPTH, mesh, intersector)
     pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
     sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
                            (SPP, W * H))
@@ -76,7 +76,7 @@ def test_sharded_compaction_matches_single_device(setup, monkeypatch):
     )
 
     monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 16)
-    scene, arrays, bvh, use_bvh, basis, ref = setup
+    scene, arrays, bvh, intersector, basis, ref = setup
     depth = 10  # enough milestones for real compaction
     ref10 = render_image(scene, RenderSettings(width=W, height=H,
                                                samples=SPP, depth=depth))
@@ -90,12 +90,12 @@ def test_sharded_compaction_matches_single_device(setup, monkeypatch):
                          (SPP, W * H)), sharding)
 
     run = make_sharded_compacting_renderer(scene, W, H, depth, mesh,
-                                           use_bvh)
+                                           intersector)
     rad_probe = run(arrays, bvh, basis, pix, sam, np.uint32(0))
     rad_sched = run(arrays, bvh, basis, pix, sam, np.uint32(0))
     np.testing.assert_array_equal(rad_probe, rad_sched)
 
-    plain = make_shardmap_renderer(scene, W, H, depth, mesh, use_bvh)
+    plain = make_shardmap_renderer(scene, W, H, depth, mesh, intersector)
     rad_plain = np.asarray(plain(arrays, bvh, basis, pix, sam,
                                  np.uint32(0)))
     # ULP-level only: the segmented chain and the single 10-bounce scan
@@ -117,7 +117,7 @@ def test_sharded_compaction_overflow_reprobes(setup, monkeypatch):
     )
 
     monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 16)
-    scene, arrays, bvh, use_bvh, basis, _ = setup
+    scene, arrays, bvh, intersector, basis, _ = setup
     depth = 10
     mesh = make_render_mesh(4, 2)
     sharding = NamedSharding(mesh, P(AXIS_SPP, AXIS_RAYS))
@@ -128,7 +128,7 @@ def test_sharded_compaction_overflow_reprobes(setup, monkeypatch):
         jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
                          (SPP, W * H)), sharding)
     run = make_sharded_compacting_renderer(scene, W, H, depth, mesh,
-                                           use_bvh)
+                                           intersector)
     a = run(arrays, bvh, basis, pix, sam, np.uint32(0))
     cache = [c.cell_contents for c in run.__closure__
              if isinstance(c.cell_contents, dict)][0]
@@ -144,8 +144,8 @@ def test_sharded_compaction_overflow_reprobes(setup, monkeypatch):
 
 
 def test_sharded_gradients_match_unsharded(setup):
-    scene, arrays, bvh, use_bvh, basis, _ = setup
-    loss_fn = make_loss_fn(scene, W, H, DEPTH, use_bvh)
+    scene, arrays, bvh, intersector, basis, _ = setup
+    loss_fn = make_loss_fn(scene, W, H, DEPTH, intersector)
     from hyper_ray_tracer_tpu.train import extract_params
 
     params = extract_params(arrays)
@@ -177,9 +177,9 @@ def test_sharded_gradients_match_unsharded(setup):
 
 
 def test_train_step_runs_sharded(setup):
-    scene, arrays, bvh, use_bvh, basis, _ = setup
+    scene, arrays, bvh, intersector, basis, _ = setup
     mesh = make_render_mesh(4, 2)
-    init, step = make_train_step(scene, W, H, DEPTH, use_bvh)
+    init, step = make_train_step(scene, W, H, DEPTH, intersector)
     state = init(arrays)
     pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
     sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
@@ -216,21 +216,21 @@ def test_compacted_loss_matches_unsharded(setup, monkeypatch):
     )
 
     monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 16)
-    scene, arrays, bvh, use_bvh, basis, _ = setup
+    scene, arrays, bvh, intersector, basis, _ = setup
     params = extract_params(arrays)
     pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (SPP, W * H))
     sam = jnp.broadcast_to(jnp.arange(SPP, dtype=jnp.int32)[:, None],
                            (SPP, W * H))
     target = jnp.zeros((W * H, 3), jnp.float32)
 
-    sched = measure_compact_schedule(scene, W, H, DEPTH, use_bvh, arrays,
+    sched = measure_compact_schedule(scene, W, H, DEPTH, intersector, arrays,
                                      bvh, basis, pix, sam)
     assert any(b is not None for b in sched), "schedule never compacts"
 
     plain = jax.jit(jax.value_and_grad(
-        make_loss_fn(scene, W, H, DEPTH, use_bvh)))
+        make_loss_fn(scene, W, H, DEPTH, intersector)))
     compact = jax.jit(jax.value_and_grad(
-        make_loss_fn(scene, W, H, DEPTH, use_bvh, compact_sched=sched)))
+        make_loss_fn(scene, W, H, DEPTH, intersector, compact_sched=sched)))
     l_ref, g_ref = plain(params, arrays, bvh, basis, pix, sam,
                          np.uint32(0), target)
 

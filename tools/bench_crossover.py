@@ -110,7 +110,7 @@ def main() -> int:
                 from hyper_ray_tracer_tpu.ops.bvh import make_intersector
 
                 tr = make_intersector(
-                    scene.static, use_bvh=(mode == "bvh"),
+                    scene.static, bvh_mode=(mode == "bvh"),
                     host_geom=scene.arrays.geom if mode == "sweep"
                     else None)
                 trace = jax.jit(lambda o, d, t, b, a, _g=arrays.geom,
