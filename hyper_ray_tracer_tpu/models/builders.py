@@ -199,6 +199,82 @@ def final_scene(seed: int = 7) -> Scene:
     return b.finalize(cam, BLACK, "final")
 
 
+def _flake_frames(axes: np.ndarray) -> np.ndarray:
+    """[K,3,3] orthonormal frames (u, v, axis) for attachment axes [K,3]."""
+    a = axes / np.linalg.norm(axes, axis=-1, keepdims=True)
+    h = np.where(np.abs(a[:, 1:2]) < 0.9,
+                 np.float32([0.0, 1.0, 0.0]), np.float32([1.0, 0.0, 0.0]))
+    u = np.cross(h, a)
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    v = np.cross(a, u)
+    return np.stack([u, v, a], axis=1).astype(np.float32)
+
+
+# Child attachment directions in the parent's local frame (z = parent
+# attachment axis): 6 equatorial + 3 upper, the classic 9-child sphereflake
+# layout (Haines' SPD "sphflake"; exact angles are a free choice — the
+# scene is ours, not the reference's, so they are simply fixed constants).
+def _flake_dirs() -> np.ndarray:
+    eq_az = np.deg2rad(np.arange(6) * 60.0 + 30.0)
+    top_az = np.deg2rad(np.arange(3) * 120.0)
+    eq_pol = np.deg2rad(100.0)  # slightly below the equator: fuller look
+    top_pol = np.deg2rad(40.0)
+    az = np.concatenate([eq_az, top_az])
+    pol = np.concatenate([np.full(6, eq_pol), np.full(3, top_pol)])
+    return np.stack([np.sin(pol) * np.cos(az),
+                     np.sin(pol) * np.sin(az),
+                     np.cos(pol)], axis=-1).astype(np.float32)
+
+
+def sphereflake(depth: int = 5, name: str = "sphereflake") -> Scene:
+    """Recursive 9-child sphereflake: the large-scene showcase.
+
+    NOT a reference scene — the reference tops out at ~3.4k primitives
+    (`application.rs:817-935`); this scene exists to give the cluster
+    intersector (auto above render.AUTO_CLUSTER_MIN_PRIMS) a real
+    committed workload: depth 5 = (9^6-1)/8 = 66,430 spheres (plus
+    ground), deterministic (no RNG), spatially hierarchical — exactly
+    the regime the 30k-300k crossover table was measured in.  Smaller
+    depths (tests use 2) keep identical structure at oracle-checkable
+    sizes.
+    """
+    b = SceneBuilder()
+    ground = b.lambertian(b.checker((0.2, 0.3, 0.1), (0.9, 0.9, 0.9)))
+    b.sphere((0.0, -1000.0, 0.0), 1000.0, ground)
+
+    # Per-level materials: polished-metal trunk, warm lambertian branches.
+    level_mats = [
+        b.metal((0.8, 0.8, 0.9), 0.02),
+        b.lambertian(b.solid((0.75, 0.25, 0.15))),
+        b.metal((0.9, 0.7, 0.4), 0.1),
+        b.lambertian(b.solid((0.2, 0.45, 0.7))),
+        b.lambertian(b.solid((0.85, 0.8, 0.3))),
+        b.lambertian(b.solid((0.9, 0.9, 0.9))),
+    ]
+
+    dirs = _flake_dirs()  # [9,3] local
+    centers = np.float32([[0.0, 1.0, 0.0]])
+    radii = np.float32([1.0])
+    axes = np.float32([[0.0, 1.0, 0.0]])
+    for level in range(depth + 1):
+        mat = level_mats[min(level, len(level_mats) - 1)]
+        for c, r in zip(centers, radii):
+            b.sphere(c, float(r), mat)
+        if level == depth:
+            break
+        frames = _flake_frames(axes)  # [K,3,3]
+        # World-space child dirs: dir @ frame  ([9,3] x [K,3,3] -> [K,9,3]).
+        dw = np.einsum("dj,kjm->kdm", dirs, frames)
+        r_child = radii / 3.0
+        centers = (centers[:, None] + dw
+                   * (radii + r_child)[:, None, None]).reshape(-1, 3)
+        axes = dw.reshape(-1, 3)
+        radii = np.repeat(r_child, 9)
+
+    cam = CameraConfig((4.0, 2.6, 5.2), (0.0, 1.2, 0.0), 32.0, 0.0)
+    return b.finalize(cam, SKY, name)
+
+
 # ---- BASELINE.json bench scenes (configs 1-2); not in the reference CLI ----
 
 def one_sphere() -> Scene:
@@ -240,6 +316,10 @@ SCENES = {
     "cornell": cornell,
     "cornell-smoke": cornell_smoke,
     "final": final_scene,
+    "sphereflake": sphereflake,
+    # Oracle-checkable small variant (92 prims), same structure/camera:
+    # golden-image tested so the big scene's geometry generator is pinned.
+    "sphereflake-small": lambda: sphereflake(2, "sphereflake-small"),
     "one-sphere": one_sphere,
     "three-spheres": three_spheres,
 }

@@ -56,11 +56,35 @@ lens ray onto the focal plane, and probed from the same lens point — so
 the estimator integrates the boundary term over the aperture.  With
 aperture 0 the offsets vanish and the pinhole form is recovered exactly.
 
-Scope (documented limitations): primary visibility only — silhouettes
-seen through a bounce (mirror images of edges) keep the fixed-decision
-convention.  Media boundaries have no radiance discontinuity (smooth
-free-flight attenuation), so constant-medium primitives need no edge
-term.
+One-specular-bounce silhouettes (PLANAR mirrors): silhouettes seen in a
+flat polished mirror (a PT_RECT whose material is metal with fuzz == 0)
+get their boundary term through virtual images — reflecting a sphere
+center / segment endpoints across the mirror plane produces the exact
+geometry of the mirrored silhouette for EVERY viewpoint (a planar
+mirror's virtual image is viewpoint-independent, so the construction
+composes exactly with the time- and lens-sampled machinery).  Validity
+is self-gating, like occlusion: where the primary ray does not actually
+hit the mirror, both side probes see the same radiance and the sample
+cancels (dL ~ 0).  The mirror's own plane offset is differentiable too
+(the virtual image moves at twice the mirror's speed, as it must).
+tests/test_edges.py::test_mirror_* check FD parity and the
+self-exclusion rule (a mirror is not reflected in itself).
+
+Scope (documented limitations, measured in
+tests/test_edges.py::test_curved_mirror_gap_documented):
+* CURVED mirrors (e.g. the random scene's polished-metal hero sphere,
+  application.rs:560-563) keep the fixed-decision convention: a sphere
+  visible ONLY in a curved mirror contributes no boundary gradient.
+  Measured on a close-up curved-mirror rig (mirror filling ~40% of the
+  frame): grad = 0 exactly vs FD = -1.5e-3 — 100% of that derivative is
+  the neglected term.  On the reference scenes the exposure is far
+  smaller (the only fuzz-0 metal is the random scene's hero sphere,
+  whose mirrored-silhouette pixels are a ~1% sliver of the frame at the
+  default camera).  Extending to curved
+  mirrors needs specular-manifold sampling — out of scope this round.
+* Double reflections (mirror seen in mirror) are not reflected again.
+* Media boundaries have no radiance discontinuity (smooth free-flight
+  attenuation), so constant-medium primitives need no edge term.
 """
 
 from __future__ import annotations
@@ -105,6 +129,49 @@ def box_ids_of(scene) -> np.ndarray:
     """Host-side: indices of solid-box primitives."""
     pt = np.asarray(scene.arrays.geom.ptype)[: scene.static.n_prims]
     return np.flatnonzero(pt == PT_BOX).astype(np.int32)
+
+
+def mirror_rect_ids_of(scene) -> np.ndarray:
+    """Host-side: rect primitives that act as PLANAR MIRRORS — material
+    metal with fuzz == 0 (metal.rs:30-35 with no perturbation reflects
+    deterministically, so a virtual-image silhouette is exact)."""
+    from ..models.scene import MT_METAL
+
+    g = scene.arrays.geom
+    n = scene.static.n_prims
+    pt = np.asarray(g.ptype)[:n]
+    mat = np.asarray(g.material)[:n]
+    mt = np.asarray(scene.arrays.materials.mtype)[mat]
+    fz = np.asarray(scene.arrays.materials.fuzz)[mat]
+    ok = (pt == PT_RECT) & (mt == MT_METAL) & (fz == 0.0)
+    return np.flatnonzero(ok).astype(np.int32)
+
+
+def _mirror_planes(geom, mirror_ids):
+    """Differentiable world planes of mirror rects: (point [M,3],
+    unit normal [M,3]).  The normal is the baked rotation's column for
+    the rect's k axis (rect.rs:81-83 outward +e_k; static direction),
+    the point is corner 0 (moves with the trainable k offset in p0)."""
+    corners = _rect_corners(geom, mirror_ids)  # [M,4,3]
+    axis = geom.axis[mirror_ids]
+    # k axis in world: axis 0 (XY) -> z, 1 (YZ) -> x, 2 (ZX) -> y.
+    kx = (axis == 1).astype(jnp.float32)
+    ky = (axis == 2).astype(jnp.float32)
+    kz = (axis == 0).astype(jnp.float32)
+    n_obj = jnp.stack([kx, ky, kz], -1)  # [M,3]
+    n = jnp.einsum("rij,rj->ri", geom.rot[mirror_ids], n_obj)
+    return corners[:, 0], n
+
+
+def _reflect_pts(x, pnt, nrm):
+    """Householder reflection of points ``x`` [..., 3] across the plane
+    (pnt, nrm); affine, so lerped centers stay lerps of reflections."""
+    d = ((x - pnt) * nrm).sum(-1, keepdims=True)
+    return x - 2.0 * d * nrm
+
+
+def _reflect_dirs(v, nrm):
+    return v - 2.0 * (v * nrm).sum(-1, keepdims=True) * nrm
 
 
 # The 12 edges of a box: (corner_a, corner_b, face1_axis, face1_is_max,
@@ -252,8 +319,8 @@ def _box_silhouette_mask(geom, ids, corners, origin):
 
 def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                                sphere_ids=None, rect_ids=None,
-                               box_ids=None, n_edge: int = 64,
-                               n_seg: int = 16,
+                               box_ids=None, mirror_ids=None,
+                               n_edge: int = 64, n_seg: int = 16,
                                n_probe: int = 2, eps: float = 0.35):
     """Build correction(arrays, bvh, basis, seed) -> [W*H, 3].
 
@@ -263,11 +330,15 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
 
     ``sphere_ids`` / ``rect_ids`` / ``box_ids``: which primitives get edge
     terms (default: every sphere — moving ones time-sampled — every rect,
-    every solid box).  ``n_edge`` silhouette samples per sphere; ``n_seg``
-    samples per rect/box edge segment; ``n_probe`` independent radiance
-    probes per side; ``eps`` probe offset from the edge in pixels (bias
-    O(eps); below ~0.2 the probes start landing on the wrong side of the
-    curve at f32 precision).
+    every solid box).  ``mirror_ids``: planar-mirror rects (default:
+    every fuzz-0 metal rect, ``mirror_rect_ids_of``); every edge family
+    is additionally reflected across each mirror plane (virtual images),
+    restoring the boundary term of silhouettes seen through ONE planar
+    specular bounce (module docstring).  ``n_edge`` silhouette samples
+    per sphere; ``n_seg`` samples per rect/box edge segment; ``n_probe``
+    independent radiance probes per side; ``eps`` probe offset from the
+    edge in pixels (bias O(eps); below ~0.2 the probes start landing on
+    the wrong side of the curve at f32 precision).
 
     Moving spheres: each silhouette sample carries a shutter time (a
     stratified lattice over [basis.time0, basis.time1), golden-ratio
@@ -284,11 +355,24 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
         rect_ids = rect_ids_of(scene)
     if box_ids is None:
         box_ids = box_ids_of(scene)
+    if mirror_ids is None:
+        mirror_ids = mirror_rect_ids_of(scene)
     sphere_ids = np.asarray(sphere_ids, np.int32)
     rect_ids = np.asarray(rect_ids, np.int32)
     box_ids = np.asarray(box_ids, np.int32)
+    mirror_ids = np.asarray(mirror_ids, np.int32)
     S, E = int(sphere_ids.shape[0]), int(n_edge)
     R, B, E2 = int(rect_ids.shape[0]), int(box_ids.shape[0]), int(n_seg)
+    M = int(mirror_ids.shape[0])
+    # Self-exclusion: a mirror's own edges reflected across its own plane
+    # land exactly on themselves — keeping them would double-count the
+    # mirror's boundary term.  [M, 4R] static mask of excluded segment
+    # rows (rect r owns segment rows 4r..4r+3).
+    if M and R:
+        _mir_excl = np.repeat(rect_ids[None, :] == mirror_ids[:, None],
+                              4, axis=1)
+    else:
+        _mir_excl = np.zeros((M, 4 * R), bool)
     colorer = make_ray_colorer(scene, W, H, depth, intersector, leaf_size,
                                differentiable=False)
     phis = (np.arange(E, dtype=np.float32) + 0.5) * (2.0 * np.pi / E)
@@ -416,6 +500,10 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
         def _lens_offsets(disk):
             return (disk[..., 0:1] * basis.u + disk[..., 1:2] * basis.v)
 
+        # Mirror planes (differentiable in the rect's trainable offset).
+        if M > 0:
+            pl_pnt, pl_nrm = _mirror_planes(geom, mirror_ids)
+
         if S > 0:
             p0s = geom.p0[sphere_ids]  # [S,3] traced (gradient path)
             p1s = geom.p1[sphere_ids]
@@ -428,45 +516,79 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
             ts1 = geom.time1[sphere_ids][:, None]
             frac = (tt - ts0) / (ts1 - ts0)
             c = p0s[:, None, :] + frac[..., None] * (p1s - p0s)[:, None, :]
+            # Virtual images: one extra sphere family per mirror
+            # (reflection is affine, so the time-lerped center reflects
+            # to a time-lerped virtual center).
+            c_fams = [c] + [_reflect_pts(c, pl_pnt[m], pl_nrm[m])
+                            for m in range(M)]
+            c_all = jnp.concatenate(c_fams)  # [(M+1)S, E, 3]
+            nf = M + 1
+            r_all = jnp.tile(r, nf)
+            tt_all = jnp.tile(tt, (nf, 1))
             phi = jnp.asarray(phis)
-            off_s = _lens_offsets(jnp.asarray(disk_sph))  # [S,E,3]
-            xy, cW = xy_fn(c, r, phi, off_s, basis, W, H)  # [S,E,2]
-            tau = tan_fn(c, r, phi, off_s, basis) * (_TWO_PI / E)
+            off_s = jnp.tile(_lens_offsets(jnp.asarray(disk_sph)),
+                             (nf, 1, 1))  # [(M+1)S, E, 3]
+            xy, cW = xy_fn(c_all, r_all, phi, off_s, basis, W, H)
+            tau = tan_fn(c_all, r_all, phi, off_s, basis) * (_TWO_PI / E)
             # In front of the camera AND lens point outside the sphere.
             L_cam = jnp.sqrt(
-                ((sg(c) - basis.origin - off_s) ** 2).sum(-1))
-            pre = (sg(cW) < 0.0) & (L_cam > sg(r)[:, None] * 1.001)
+                ((sg(c_all) - basis.origin - off_s) ** 2).sum(-1))
+            pre = (sg(cW) < 0.0) & (L_cam > sg(r_all)[:, None] * 1.001)
             cen = sg(xy).mean(1, keepdims=True)
             parts.append(_finish_part(xy, tau, cen, pre))
-            times.append(tt.reshape(-1))
+            times.append(tt_all.reshape(-1))
             offsets.append(off_s.reshape(-1, 3))
 
         segA = []
         segB = []
         seg_cen = []
         seg_n = []
+        seg_keep = []
+        rc = bc = None
         if R > 0:
             rc = _rect_corners(geom, rect_ids)  # [R,4,3]
-            segA.append(rc.reshape(-1, 3))
-            segB.append(jnp.roll(rc, -1, axis=1).reshape(-1, 3))
-            cen_xy = _corners_center_xy(sg(rc), basis)  # [R,2]
-            seg_cen.append(jnp.repeat(cen_xy, 4, axis=0))
-            # Rect boundary segments are silhouettes from everywhere —
-            # zero normals mark "no face test".
-            seg_n.append(jnp.zeros((R * 4, 2, 3), jnp.float32))
         if B > 0:
             bc = _box_corners(geom, box_ids)  # [B,8,3]
-            segA.append(bc[:, _BOX_EA].reshape(-1, 3))
-            segB.append(bc[:, _BOX_EB].reshape(-1, 3))
-            cen_xy = _corners_center_xy(sg(bc), basis)  # [B,2]
-            seg_cen.append(jnp.repeat(cen_xy, 12, axis=0))
-            seg_n.append(_box_edge_normals(
-                sg(geom), box_ids).reshape(-1, 2, 3))
+            bn = _box_edge_normals(sg(geom), box_ids)  # [B,12,2,3]
+
+        def _add_seg_family(refl=None, keep_rects=None):
+            """Append one segment family (the direct one, or its virtual
+            image across mirror ``refl`` = (pnt, nrm)); ``keep_rects``
+            masks out excluded rect segment rows (mirror self-images)."""
+            if R > 0:
+                c4 = rc if refl is None else _reflect_pts(rc, *refl)
+                segA.append(c4.reshape(-1, 3))
+                segB.append(jnp.roll(c4, -1, axis=1).reshape(-1, 3))
+                cen_xy = _corners_center_xy(sg(c4), basis)  # [R,2]
+                seg_cen.append(jnp.repeat(cen_xy, 4, axis=0))
+                # Rect boundary segments are silhouettes from everywhere —
+                # zero normals mark "no face test".
+                seg_n.append(jnp.zeros((R * 4, 2, 3), jnp.float32))
+                seg_keep.append(np.ones(R * 4, bool) if keep_rects is None
+                                else keep_rects)
+            if B > 0:
+                c8 = bc if refl is None else _reflect_pts(bc, *refl)
+                segA.append(c8[:, _BOX_EA].reshape(-1, 3))
+                segB.append(c8[:, _BOX_EB].reshape(-1, 3))
+                cen_xy = _corners_center_xy(sg(c8), basis)  # [B,2]
+                seg_cen.append(jnp.repeat(cen_xy, 12, axis=0))
+                n_f = bn if refl is None else _reflect_dirs(
+                    bn, sg(refl[1])[None, None, None, :])
+                seg_n.append(n_f.reshape(-1, 2, 3))
+                seg_keep.append(np.ones(B * 12, bool))
+
+        if R + B > 0:
+            _add_seg_family()
+            for m in range(M):
+                _add_seg_family(refl=(pl_pnt[m], pl_nrm[m]),
+                                keep_rects=~_mir_excl[m] if R else None)
         if segA:
+            n_fam = 1 + M
             pA = jnp.concatenate(segA)  # [K,3]
             pB = jnp.concatenate(segB)
             u = jnp.asarray(us)
-            off_g = _lens_offsets(jnp.asarray(disk_seg))  # [K,E2,3]
+            off_g = jnp.tile(_lens_offsets(jnp.asarray(disk_seg)),
+                             (n_fam, 1, 1))  # [K,E2,3]
             xy, cW = seg_xy_fn(pA, pB, u, off_g, basis, W, H)  # [K,E2,2]
             tau = seg_tan_fn(pA, pB, u, off_g, basis) * (1.0 / E2)
             # Per-sample silhouette test for box edges: the sample point
@@ -480,7 +602,8 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
             d1 = (n12[:, None, 0, :] * v).sum(-1)
             d2 = (n12[:, None, 1, :] * v).sum(-1)
             sil = jnp.where(is_box[:, None], (d1 * d2) < 0.0, True)
-            pre = sil & (sg(cW) < 0.0)
+            keep = jnp.asarray(np.concatenate(seg_keep))[:, None]
+            pre = sil & (sg(cW) < 0.0) & keep
             cen = jnp.concatenate(seg_cen)[:, None, :]
             parts.append(_finish_part(xy, tau, cen, pre))
             mid = basis.time0 + 0.5 * (basis.time1 - basis.time0)

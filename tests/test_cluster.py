@@ -152,3 +152,26 @@ def test_cluster_gradients_flow():
     gp0 = np.asarray(g.geom.p0)
     assert np.all(gp0[pads] == 0.0)
     assert not np.isnan(gp0[~pads]).any()
+
+
+def test_sphereflake_auto_picks_cluster():
+    """The committed showcase scene really exercises the auto 'cluster'
+    branch (VERDICT r2 task 3): 66,431 primitives, above the measured
+    ~30k crossover."""
+    scene = build_scene("sphereflake")
+    assert scene.static.n_prims >= AUTO_CLUSTER_MIN_PRIMS
+    assert resolve_intersector(scene, None) == "cluster"
+    assert cluster_eligible(scene.arrays.geom, scene.static.n_prims)
+
+
+def test_sphereflake_cluster_equals_sweep():
+    """Same flake structure at cluster-eligible size (depth 3: 822 prims,
+    one 821-sphere run -> real clusters, not the all-tail degenerate)."""
+    from hyper_ray_tracer_tpu.models.builders import sphereflake
+
+    scene = sphereflake(3, "sphereflake-3")
+    assert cluster_eligible(scene.arrays.geom, scene.static.n_prims)
+    s = dict(width=24, height=14, samples=2, depth=6)
+    img_sweep = render_image(scene, RenderSettings(**s, intersector="sweep"))
+    img_clus = render_image(scene, RenderSettings(**s, intersector="cluster"))
+    np.testing.assert_allclose(img_clus, img_sweep, atol=1e-5, rtol=0)

@@ -501,3 +501,137 @@ def test_train_loss_silhouette_flag():
     for k, v in grads.items():
         assert np.isfinite(np.asarray(v)).all(), k
     assert float(jnp.abs(grads["geom.p0"]).max()) > 0.0
+
+
+def _mirror_scene(fuzz=0.0):
+    """A polished metal rect mirror facing the camera + a diffuse sphere
+    BEHIND the camera: the sphere is visible ONLY via the specular bounce
+    (the round-2 neglected term, VERDICT r2 task 4; geometry inspired by
+    the reference's polished hero sphere, application.rs:560-563, but
+    planar so the virtual-image construction is exact)."""
+    b = SceneBuilder()
+    mirror = b.metal((0.95, 0.95, 0.95), fuzz)
+    b.rect(0, -0.6, 0.6, -0.6, 0.6, -1.0, mirror)  # XY plane at z=-1
+    red = b.lambertian(b.solid((0.7, 0.15, 0.1)))
+    b.sphere((0.3, 0.0, 1.2), 0.35, red)  # behind the camera
+    cam = CameraConfig((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), 90.0, 0.0,
+                       focus_dist=1.0)
+    return b.finalize(cam, SKY, "mirror-sil")
+
+
+def _setup_shift_prim(scene, spp, prim, mirror_ids=None, depth=3):
+    """image_fn(dx): mean image with primitive ``prim`` shifted +dx on x,
+    silhouette correction included (optionally with forced mirror set)."""
+    arrays, bvh, mode = prepare_scene(scene)
+    arrays, bvh = jax.device_put((arrays, bvh))
+    basis = make_basis(scene.camera, W, H)
+    ray_color = make_ray_colorer(scene, W, H, depth, mode)
+    correction = make_silhouette_correction(scene, W, H, depth, mode,
+                                            mirror_ids=mirror_ids)
+    pix = jnp.broadcast_to(jnp.arange(W * H, dtype=jnp.int32), (spp, W * H))
+    sam = jnp.broadcast_to(jnp.arange(spp, dtype=jnp.int32)[:, None],
+                           (spp, W * H))
+
+    def image_fn(dx):
+        p0 = arrays.geom.p0.at[prim, 0].add(dx)
+        p1 = arrays.geom.p1.at[prim, 0].add(dx)
+        a = arrays._replace(geom=arrays.geom._replace(p0=p0, p1=p1))
+        rad = ray_color(a, bvh, basis, pix.reshape(-1), sam.reshape(-1),
+                        np.uint32(0))
+        img = rad.reshape(spp, W * H, 3).mean(0)
+        return img + correction(a, bvh, basis, np.uint32(7))
+
+    return image_fn
+
+
+def test_mirror_silhouette_grad_matches_fd():
+    """A sphere visible ONLY in a planar mirror: the virtual-image edge
+    family restores the bounced boundary term to FD accuracy, while
+    without it (mirror_ids=[]) the gradient misses most of the
+    derivative — the measured round-2 gap, now closed for planar
+    mirrors."""
+    from hyper_ray_tracer_tpu.ops.edges import mirror_rect_ids_of
+
+    scene = _mirror_scene()
+    assert len(mirror_rect_ids_of(scene)) == 1
+    from hyper_ray_tracer_tpu.models.scene import PT_SPHERE
+    sphere_prim = int(np.flatnonzero(
+        np.asarray(scene.arrays.geom.ptype)[:scene.static.n_prims]
+        == PT_SPHERE)[0])
+
+    def run(mirror_ids):
+        image_fn = _setup_shift_prim(_mirror_scene(), 48, sphere_prim,
+                                     mirror_ids=mirror_ids)
+        target = jax.lax.stop_gradient(image_fn(jnp.float32(0.15)))
+
+        def loss(dx):
+            return ((image_fn(dx) - target) ** 2).mean()
+
+        f = jax.jit(loss)
+        g = float(jax.jit(jax.grad(loss))(jnp.float32(0.0)))
+        eps = 0.03
+        fd = (float(f(jnp.float32(eps)))
+              - float(f(jnp.float32(-eps)))) / (2 * eps)
+        return g, fd
+
+    g_off, fd = run(mirror_ids=np.zeros(0, np.int32))
+    g_on, fd_on = run(mirror_ids=None)  # auto: detects the mirror
+    assert abs(fd) > 1e-4, f"FD degenerate: {fd}"
+    # Without the mirror family the bounced boundary term is absent:
+    # the gradient misses most of the true derivative.
+    assert abs(g_off - fd) > 0.5 * abs(fd), (g_off, fd)
+    np.testing.assert_allclose(g_on, fd_on, rtol=0.35)
+
+
+def test_mirror_self_exclusion_no_double_count():
+    """The mirror's own edges must not be double-counted through their
+    own reflection (they reflect onto themselves): the in-plane shift
+    gradient of a lone mirror rect still matches FD (a double count
+    would land at ~2x)."""
+    b = SceneBuilder()
+    mirror = b.metal((0.9, 0.9, 0.9), 0.0)
+    b.rect(0, -0.4, 0.4, -0.3, 0.3, -1.0, mirror)
+    cam = CameraConfig((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), 90.0, 0.0,
+                       focus_dist=1.0)
+    scene = b.finalize(cam, SKY, "mirror-only")
+    image_fn = _setup_shift_prim(scene, 48, 0)
+    _fd_check(image_fn)
+
+
+def test_curved_mirror_gap_documented():
+    """CURVED mirrors stay out of scope (edges.py docstring): measure the
+    neglected term on a polished-SPHERE-mirror rig so the limitation is a
+    number, not an asterisk.  A diffuse sphere behind the camera is
+    visible only in the hero mirror sphere; the boundary gradient of its
+    position is mostly missing."""
+    b = SceneBuilder()
+    b.sphere((0.0, 0.0, -1.3), 0.8, b.metal((0.9, 0.9, 0.95), 0.0))
+    red = b.lambertian(b.solid((0.7, 0.15, 0.1)))
+    b.sphere((0.4, 0.0, 1.5), 0.45, red)
+    cam = CameraConfig((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), 90.0, 0.0,
+                       focus_dist=1.0)
+    scene = b.finalize(cam, SKY, "curved-mirror")
+    from hyper_ray_tracer_tpu.models.scene import PT_SPHERE
+    pt = np.asarray(scene.arrays.geom.ptype)[:scene.static.n_prims]
+    # the red sphere is the one behind the camera (p0 z > 0)
+    z = np.asarray(scene.arrays.geom.p0)[:scene.static.n_prims, 2]
+    prim = int(np.flatnonzero((pt == PT_SPHERE) & (z > 0))[0])
+    image_fn = _setup_shift_prim(scene, 48, prim)
+    target = jax.lax.stop_gradient(image_fn(jnp.float32(0.2)))
+
+    def loss(dx):
+        return ((image_fn(dx) - target) ** 2).mean()
+
+    f = jax.jit(loss)
+    g = float(jax.jit(jax.grad(loss))(jnp.float32(0.0)))
+    eps = 0.04
+    fd = (float(f(jnp.float32(eps))) - float(f(jnp.float32(-eps)))) / (
+        2 * eps)
+    assert abs(fd) > 1e-4, f"FD degenerate: {fd}"
+    gap = abs(g - fd) / abs(fd)
+    print(f"curved-mirror neglected boundary term: grad={g:.5f} "
+          f"fd={fd:.5f} gap={gap:.1%}")
+    assert np.isfinite(g)
+    # The gap IS large here by construction; if an estimator extension
+    # ever closes it, tighten this into an FD-parity assert.
+    assert gap > 0.3, f"gap unexpectedly small ({gap:.1%}) - extend test"

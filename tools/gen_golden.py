@@ -32,6 +32,7 @@ CASES = [
     ("cornell-smoke", 160, 90, 4, 8),
     ("random", 160, 90, 2, 8),
     ("final", 160, 90, 1, 5),
+    ("sphereflake-small", 160, 90, 4, 8),
 ]
 
 
