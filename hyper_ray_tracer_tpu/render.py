@@ -602,19 +602,26 @@ def compact_wavefront(state, slots, acc, bucket):
         .at[dest]
         .set(iota, mode="drop", unique_indices=True)
     )
+    return _compact_finish(state, slots, acc, idx_full, bucket, n_alive_i)
+
+
+def _compact_finish(state, slots, acc, idx_full, bucket, n_alive):
+    """Shared tail of the alive-first compactions: gather the first
+    ``bucket`` lanes of the permutation ``idx_full``, flush the dropped
+    tail's radiance, report overflow (live lanes past the bucket).
+
+    Row gathers over packed live fields (12 scalar gathers cost
+    ~156 ms at 1.44M lanes; two row gathers ~20 ms — see
+    intersect.pack_prim).  base round-trips through a bitcast so the
+    int rows share one matrix with the slot ids."""
     idx = idx_full[:bucket]
     idx_drop = idx_full[bucket:]
-    n_alive = n_alive_i
     packed_alive = jnp.arange(bucket) < n_alive
     # Fixed-schedule safety: True if live rays would be dropped.  The
     # scheduled caller accumulates this on device and checks it once
     # per pass; on overflow the pass is discarded and rerun with
     # counted buckets, so scheduling can never change the image.
     overflow = n_alive > bucket
-    # Row gathers over packed live fields (12 scalar gathers cost
-    # ~156 ms at 1.44M lanes; two row gathers ~20 ms — see
-    # intersect.pack_prim).  base round-trips through a bitcast so the
-    # int rows share one matrix with the slot ids.
     fpk = jnp.concatenate(
         [state.o, state.d, state.time[:, None], state.throughput,
          state.radiance],
@@ -638,6 +645,21 @@ def compact_wavefront(state, slots, acc, bucket):
         radiance=fpk[:, 10:13],
     )
     return g, ipk[:, 1], acc, overflow
+
+
+def compact_wavefront_sorted(state, slots, acc, bucket, key):
+    """``compact_wavefront`` that additionally orders the surviving lanes
+    by the uint32 coherence ``key`` (cluster_sweep.make_coherence_key):
+    one stable argsort replaces the cumsum partition — measured ~2 ms at
+    720k lanes on TPU v5e, paid once per milestone and far smaller than
+    the tile-overlap reduction it buys the cluster sweep.  Still a pure
+    permutation of lane work: renders stay bit-identical to the fixed
+    scan (per-ray RNG; radiance lands in per-lane slots)."""
+    kmax = jnp.uint32(0xFFFFFFFF)
+    k = jnp.where(state.alive, jnp.minimum(key, kmax - 1), kmax)
+    idx_full = jnp.argsort(k).astype(jnp.int32)  # stable: dead keep order
+    n_alive = state.alive.sum(dtype=jnp.int32)
+    return _compact_finish(state, slots, acc, idx_full, bucket, n_alive)
 
 
 def flush_wavefront_drop(acc, slots, state):
@@ -983,7 +1005,8 @@ def _pick_bucket(n_alive: int, cur: int, quantum: int) -> int:
 def make_compacting_renderer(scene: Scene, width: int, height: int,
                              depth: int, intersector: bool, leaf_size: int = 4,
                              bf16_hits: bool = False,
-                             partition_sweep: bool = True):
+                             partition_sweep: bool = True,
+                             coherence_sort: Optional[bool] = None):
     """Wavefront renderer with dead-ray compaction between bounce chunks.
 
     Returns run(arrays, bvh, basis, perm, sample0, n_samples, seed) ->
@@ -1002,6 +1025,12 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     (make_scan_intersector's part_groups notes); each run remains
     deterministic for a given seed.
 
+    ``coherence_sort`` (None = auto: on exactly in cluster mode): order
+    surviving lanes by origin-Morton-cell x direction-octant at every
+    milestone (cluster_sweep.make_coherence_key) so the cluster
+    intersector's RAY_TILE windows stay spatially coherent on secondary
+    bounces.  A pure permutation — renders remain bit-identical.
+
     The reference has no analogue (its tokio tiles always trace every pixel
     to full depth); this exploits the measured survival curve (final scene:
     [0.67, 0.40, 0.25, 0.17, 0.13, ...]) to cut ray-bounce work ~2.5x at
@@ -1013,7 +1042,26 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     scan_jit = jax.jit(colorer.bounce_scan, static_argnums=(4,))
 
     flush_jit = jax.jit(flush_wavefront)
-    compact_jit = jax.jit(compact_wavefront, static_argnums=(3,))
+    mode = resolve_intersector(scene, intersector)
+    if coherence_sort is None:
+        coherence_sort = mode == "cluster"
+    if coherence_sort and mode == "cluster":
+        # Cluster tiles need coherent lanes; order survivors by origin
+        # cell x direction octant at each milestone (pure permutation —
+        # still bit-identical; measured on the sphereflake in
+        # tools/prof_coherence.py).
+        from .models.clusters import build_clusters
+        from .ops.cluster_sweep import make_coherence_key
+
+        _, _layout = build_clusters(scene.arrays.geom,
+                                    scene.static.n_prims)
+        _key_fn = make_coherence_key(_layout)
+        compact_jit = jax.jit(
+            lambda st, sl, acc, b: compact_wavefront_sorted(
+                st, sl, acc, b, _key_fn(st.o, st.d)),
+            static_argnums=(3,))
+    else:
+        compact_jit = jax.jit(compact_wavefront, static_argnums=(3,))
     counted_jit = jax.jit(colorer.bounce_scan_counted, static_argnums=(4,))
 
     # Partitioned-sweep machinery (ops/partition.py): active when the

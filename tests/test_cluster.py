@@ -175,3 +175,33 @@ def test_sphereflake_cluster_equals_sweep():
     img_sweep = render_image(scene, RenderSettings(**s, intersector="sweep"))
     img_clus = render_image(scene, RenderSettings(**s, intersector="cluster"))
     np.testing.assert_allclose(img_clus, img_sweep, atol=1e-5, rtol=0)
+
+
+def test_coherence_sort_bit_identical():
+    """The coherence-sorted compaction (on by default in cluster mode) is
+    a pure permutation: renders match the unsorted descent bit for bit.
+    Measured on TPU v5e it cuts the sphereflake cluster render 27%
+    (tools/prof_coherence.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.models.builders import sphereflake
+    from hyper_ray_tracer_tpu.render import (
+        make_compacting_renderer,
+        prepare_scene,
+    )
+
+    scene = sphereflake(3, "sphereflake-3")
+    W, H, SPP, depth = 48, 27, 2, 8
+    arrays, bvh, _ = prepare_scene(scene, "cluster")
+    arrays, bvh = jax.device_put((arrays, bvh))
+    basis = make_basis(scene.camera, W, H)
+    perm = jnp.asarray(block_order(W, H))
+    outs = []
+    for sort in (False, True):
+        run = make_compacting_renderer(scene, W, H, depth, "cluster",
+                                       coherence_sort=sort)
+        outs.append(np.asarray(run(arrays, bvh, basis, perm, 0, SPP,
+                                   np.uint32(3))))
+    np.testing.assert_array_equal(outs[0], outs[1])
