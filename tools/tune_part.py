@@ -57,10 +57,10 @@ def time_config(scene, arrays, bvh, basis, perm, mode, reps=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?", default="final")
-    ap.add_argument("--saved-grid", type=float, nargs="*",
+    ap.add_argument("--saved-grid", type=float, nargs="+",
                     default=SAVED_MIN_GRID,
                     help="PART_SAVED_MIN values to sweep")
-    ap.add_argument("--lanes-grid", type=int, nargs="*",
+    ap.add_argument("--lanes-grid", type=int, nargs="+",
                     default=MIN_LANES_GRID,
                     help="PART_MIN_LANES values to sweep")
     a = ap.parse_args()
@@ -87,8 +87,13 @@ def main():
               f"partitioned_milestones={nparts}  mean={mean:.4f}",
               flush=True)
     R.PART_SAVED_MIN = base_saved
+    # The first loop measured (sm, base_lanes) for every sm; skipping
+    # base_lanes here is only safe when base_saved was in that grid —
+    # otherwise an explicitly requested lane value would never run
+    # (ADVICE r2).
+    measured_base = base_saved in saved_grid
     for ml in lanes_grid:
-        if ml == base_lanes:
+        if ml == base_lanes and measured_base:
             continue
         P.PART_MIN_LANES = ml
         best, mean, nparts = time_config(scene, arrays, bvh, basis, perm,
