@@ -183,9 +183,15 @@ class RenderSettings:
     # ones — the resume is unbiased but bitwise-exact only under
     # partition=False.
     checkpoint_path: Optional[str] = None
-    # Progressive preview PNG updated after every chunk (replaces the
+    # Progressive preview PNG updated per snapshot (replaces the
     # reference's incremental GL tile display).
     preview_path: Optional[str] = None
+    # Checkpoint/preview cadence in spp chunks.  None = auto: every chunk
+    # while a preview is requested (continuous display, like the
+    # reference's tile streaming), every 8 chunks for checkpoint-only
+    # renders (the snapshot is the only remaining per-chunk device->host
+    # transfer; values are cadence-independent — see render_image).
+    snapshot_every: Optional[int] = None
     # Dead-ray compaction (None = auto: on for depth >= 6).  Path-traced
     # wavefronts thin out fast (final scene: 67% alive after bounce 1, 10%
     # by bounce 6); after each bounce whose scheduled bucket shrinks, the
@@ -1411,10 +1417,11 @@ def render_image(scene: Scene, settings: RenderSettings,
     seed = np.uint32(settings.seed)
     t_start = _time.monotonic()
     rays_done = 0
-    # Checkpoint / preview cadence: every SNAPSHOT_EVERY chunks (plus the
+    # Checkpoint / preview cadence: every snapshot_every chunks (plus the
     # final one).  Purely a durability/IO knob — the f32 device chain
     # makes the rendered values independent of the cadence.
-    SNAPSHOT_EVERY = 8
+    snapshot_every = settings.snapshot_every or (
+        1 if settings.preview_path else 8)
     chunks_done = 0
 
     def _finish_chunk(fin, s_after, ns):
@@ -1426,7 +1433,7 @@ def render_image(scene: Scene, settings: RenderSettings,
         rays_done += ns * W * H
         chunks_done += 1
         snapshot = (s >= settings.samples
-                    or chunks_done % SNAPSHOT_EVERY == 0)
+                    or chunks_done % snapshot_every == 0)
         if snapshot and (settings.checkpoint_path
                          or settings.preview_path):
             acc_np = np.asarray(acc)
