@@ -258,8 +258,7 @@ def sphereflake(depth: int = 5, name: str = "sphereflake") -> Scene:
     axes = np.float32([[0.0, 1.0, 0.0]])
     for level in range(depth + 1):
         mat = level_mats[min(level, len(level_mats) - 1)]
-        for c, r in zip(centers, radii):
-            b.sphere(c, float(r), mat)
+        b.spheres(centers, radii, mat)
         if level == depth:
             break
         frames = _flake_frames(axes)  # [K,3,3]

@@ -25,6 +25,7 @@ fold, and never receive gradients (no duplicate-primitive aliasing).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -36,14 +37,24 @@ from .scene import PT_NONE, GeometrySoA
 # bookkeeping would cost more than the saved pair tests).
 CLUSTER_MIN_RUN = 256
 
-# Upper bound on primitives per cluster; median splits keep real leaf sizes
-# in (MAX_CLUSTER/2, MAX_CLUSTER].
-MAX_CLUSTER = 128
+# Target primitives per cluster — the measured sweet spot
+# (tools/tune_clusters.py, TPU v5e, compacted depth-10 renders):
+#
+#   66k-sphere flake:  256/cluster 869 ms | 136-wide 1128 | 72-wide 1601
+#   598k-sphere flake: 2336-wide 8826 ms | 584-wide 6101 |
+#                      296-wide 6075 | 152-wide 6059  (plateau ~6.1 s)
+#
+# Narrower clusters multiply visit-loop trips (each a dynamic_slice +
+# fold with near-fixed overhead); wider ones sweep dead pairs.  Each
+# run's cluster count is the power of two closest to count/TARGET.
+CLUSTER_TARGET_PRIMS = 256
 
-# Cap on clusters per type run: Phase A of the culled sweep slab-tests
-# every ray against every cluster AABB ([N, C] dense), so C must stay
-# small even for 300k-primitive scenes — clusters grow wider instead.
-MAX_CLUSTERS_PER_RUN = 256
+# Hard cap on clusters per type run: bounds the per-tile Phase A slab
+# work and the visit-loop trip ceiling.  Round 2 capped at 256 because
+# Phase A materialised a dense [N, C] matrix; Phase A is now chunked per
+# ray tile above ~2^28 ray-cluster pairs (ops/cluster_sweep.py), so the
+# cap can follow the measured plateau instead.
+MAX_CLUSTERS_PER_RUN = 4096
 
 
 class ClusterRun(NamedTuple):
@@ -72,7 +83,8 @@ class ClusterLayout(NamedTuple):
 def _median_split(ids: np.ndarray, centers2: np.ndarray,
                   max_leaf: int) -> list:
     """Recursive median split (bvh_node.rs:27-63 policy) until every leaf
-    has <= max_leaf primitives.  ``centers2`` = aabb_min + aabb_max."""
+    has <= max_leaf primitives (real leaf sizes land in
+    (max_leaf/2, max_leaf]).  ``centers2`` = aabb_min + aabb_max."""
     out = []
 
     def rec(sub):
@@ -120,7 +132,10 @@ def build_clusters(geom: GeometrySoA,
             src_parts.append(np.arange(a, b, dtype=np.int64))
             cursor += count
             continue
-        max_leaf = max(MAX_CLUSTER, -(-count // MAX_CLUSTERS_PER_RUN))
+        n_target = 1 << max(0, round(math.log2(
+            max(count / CLUSTER_TARGET_PRIMS, 1.0))))
+        n_target = min(n_target, MAX_CLUSTERS_PER_RUN)
+        max_leaf = -(-count // n_target)
         leaves = _median_split(np.arange(a, b, dtype=np.int64), centers2,
                                max_leaf)
         width = -(-max(len(lv) for lv in leaves) // 8) * 8

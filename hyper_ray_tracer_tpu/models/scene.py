@@ -298,6 +298,26 @@ class SceneBuilder:
         self.moving_sphere(center, center, 0.0, 1.0, radius, material,
                            rot=rot, trans=trans)
 
+    def spheres(self, centers: np.ndarray, radii, material):
+        """Bulk static spheres (identity transform): one call for K
+        primitives.  ``centers`` [K,3]; ``radii`` scalar or [K];
+        ``material`` scalar or [K] material ids.  Semantically identical
+        to K ``sphere()`` calls in order; exists because the per-call
+        Python overhead dominates 100k+-primitive procedural scenes
+        (sphereflake depth 6: 30 s of appends -> ~0.2 s)."""
+        centers = np.asarray(centers, np.float32).reshape(-1, 3)
+        K = centers.shape[0]
+        radii = np.broadcast_to(np.asarray(radii, np.float32), (K,))
+        material = np.broadcast_to(np.asarray(material, np.int32), (K,))
+        eye = np.eye(3, dtype=np.float32)
+        zero3 = np.zeros(3, np.float32)
+        self._prims.extend(
+            dict(ptype=PT_SPHERE, p0=c, p1=c, radius=float(r), axis=0,
+                 time0=0.0, time1=1.0, nid=0.0, material=int(m), rot=eye,
+                 trans=zero3)
+            for c, r, m in zip(centers, radii, material)
+        )
+
     def moving_sphere(self, center0, center1, time0: float, time1: float,
                       radius: float, material: int,
                       rot: Optional[np.ndarray] = None, trans=None):

@@ -177,17 +177,43 @@ def make_cluster_intersector(static, layout):
             ray_bits = pad(ray_bits, 0)
             active = pad(active, False)
 
-        # ---- Phase A: dense per-ray cluster slab tests + per-tile sort.
-        inv_d = 1.0 / d
+        # ---- Phase A: cluster slab tests + per-tile sort.  Two forms of
+        # the same math: DENSE ([N, C] in one shot — fastest while the
+        # transient fits comfortably) and PER-TILE (a lax.map over ray
+        # tiles, [tile, C] transients) for the big-C regime the 4096
+        # cluster cap allows (models/clusters.py) — the dense form at
+        # 360k rays x 4096 clusters would materialise multi-GB arrays.
+        c_total = sum(cm.shape[0] for cm, _ in cluster_bounds)
+        dense_a = n_pad * max(c_total, 1) <= (1 << 28)
+
+        def _phase_a(args):
+            o_l, d_l, act_l = args  # [tile(s), 3] / [tile(s)]
+            inv = 1.0 / d_l
+            outs = []
+            for (cmin, cmax) in cluster_bounds:
+                t0 = (cmin[None] - o_l[:, None]) * inv[:, None]
+                t1 = (cmax[None] - o_l[:, None]) * inv[:, None]
+                lo = jnp.minimum(t0, t1).max(-1)
+                hi = jnp.maximum(t0, t1).min(-1)
+                hit = (hi > jnp.maximum(lo, t_min)) & act_l[:, None]
+                outs.append(jnp.where(hit, lo, BIG))  # [tile(s), C]
+            return tuple(outs)
+
+        if dense_a:
+            entries_n = _phase_a((o, d, active))  # [N, C] per run
+            tile_entries = tuple(
+                e.reshape(t_tiles, tile, -1).min(1) for e in entries_n)
+        else:
+            def _tile_a(args):
+                return tuple(e.min(0) for e in _phase_a(args))
+
+            tile_entries = jax.lax.map(_tile_a, (
+                o.reshape(t_tiles, tile, 3),
+                d.reshape(t_tiles, tile, 3),
+                active.reshape(t_tiles, tile),
+            ))
         run_xs = []
-        for (cmin, cmax) in cluster_bounds:
-            t0 = (cmin[None] - o[:, None]) * inv_d[:, None]
-            t1 = (cmax[None] - o[:, None]) * inv_d[:, None]
-            lo = jnp.minimum(t0, t1).max(-1)
-            hi = jnp.maximum(t0, t1).min(-1)
-            hit = (hi > jnp.maximum(lo, t_min)) & active[:, None]  # [N,C]
-            entry = jnp.where(hit, lo, BIG).reshape(t_tiles, tile, -1)
-            tile_entry = entry.min(1)  # [T, C]
+        for tile_entry in tile_entries:  # [T, C] per run
             order = jnp.argsort(tile_entry, axis=1).astype(jnp.int32)
             entry_sorted = jnp.take_along_axis(tile_entry, order, axis=1)
             count = (entry_sorted < jnp.float32(0.5) * BIG).sum(

@@ -32,9 +32,11 @@ from jax.sharding import PartitionSpec as P
 from ..render import (
     compact_wavefront,
     compact_wavefront_part,
+    compact_wavefront_sorted,
     flush_wavefront,
     flush_wavefront_drop,
     make_ray_colorer,
+    resolve_intersector,
     schedule_from_cat_counts,
     schedule_from_counts,
     schedule_groups,
@@ -154,6 +156,24 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
                                differentiable=False)
     part_groups = colorer.part_groups
     use_part = len(part_groups) > 0 and partition_sweep
+    # Cluster mode: the coherence-sorted compaction is a purely LOCAL
+    # permutation of each device's lanes (no collectives), so it drops
+    # into the SPMD chain unchanged — same bit-identity contract as the
+    # single-chip path (render.compact_wavefront_sorted).
+    _key_fn = None
+    if resolve_intersector(scene, intersector) == "cluster":
+        from ..models.clusters import build_clusters
+        from ..ops.cluster_sweep import make_coherence_key
+
+        _, _layout = build_clusters(scene.arrays.geom,
+                                    scene.static.n_prims)
+        _key_fn = make_coherence_key(_layout)
+
+    def _compact_plain(state, slots, acc, bucket):
+        if _key_fn is not None:
+            return compact_wavefront_sorted(
+                state, slots, acc, bucket, _key_fn(state.o, state.d))
+        return compact_wavefront(state, slots, acc, bucket)
 
     @partial(
         jax.shard_map,
@@ -217,7 +237,7 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
                 state = colorer.bounce_scan(arrays, bvh, state,
                                             jnp.uint32(b0), b1 - b0)
                 if bucket is not None:
-                    state, slots, acc, o = compact_wavefront(
+                    state, slots, acc, o = _compact_plain(
                         state, slots, acc, bucket)
                     over = over | o
             acc = flush_wavefront(acc, slots, state)

@@ -248,3 +248,43 @@ def test_compacted_loss_matches_unsharded(setup, monkeypatch):
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_cluster_sphereflake_matches_single_device(monkeypatch):
+    """The cluster intersector + coherence-sorted compaction inside
+    shard_map: the 8-device sharded sphereflake render matches the
+    single-device compacted cluster render bit for bit (the sort is a
+    purely local lane permutation; no collectives added)."""
+    from hyper_ray_tracer_tpu import render as R
+    from hyper_ray_tracer_tpu.models.builders import sphereflake
+    from hyper_ray_tracer_tpu.parallel.render_sharded import (
+        make_sharded_compacting_renderer,
+    )
+
+    monkeypatch.setattr(R, "_COMPACT_MIN_BUCKET", 16)
+    scene = sphereflake(3, "sphereflake-3")
+    Wf, Hf, SPPf, depth = 48, 24, 8, 8
+    arrays, bvh, mode = prepare_scene(scene, "cluster")
+    basis = make_basis(scene.camera, Wf, Hf)
+
+    mesh = make_render_mesh(4, 2)
+    sharding = NamedSharding(mesh, P(AXIS_SPP, AXIS_RAYS))
+    pix = jax.device_put(
+        jnp.broadcast_to(jnp.arange(Wf * Hf, dtype=jnp.int32),
+                         (SPPf, Wf * Hf)), sharding)
+    sam = jax.device_put(
+        jnp.broadcast_to(jnp.arange(SPPf, dtype=jnp.int32)[:, None],
+                         (SPPf, Wf * Hf)), sharding)
+
+    run = make_sharded_compacting_renderer(scene, Wf, Hf, depth, mesh,
+                                           "cluster")
+    rad_probe = run(arrays, bvh, basis, pix, sam, np.uint32(1))
+    rad_sched = run(arrays, bvh, basis, pix, sam, np.uint32(1))
+    np.testing.assert_array_equal(rad_probe, rad_sched)
+
+    # Single-device compacted cluster render (coherence sort on).
+    single = R.make_compacting_renderer(scene, Wf, Hf, depth, "cluster")
+    perm = jnp.arange(Wf * Hf, dtype=jnp.int32)
+    ref = np.asarray(single(jax.device_put(arrays), jax.device_put(bvh),
+                            basis, perm, 0, SPPf, np.uint32(1)))
+    np.testing.assert_allclose(ref, rad_sched, rtol=3e-6, atol=1e-6)

@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--modes", default="cluster,cluster+bf16,sweep")
+    ap.add_argument("--flake-depth", type=int, default=None,
+                    help="build sphereflake(depth) instead of the "
+                         "committed depth-5 scene (6 -> 597,872 prims)")
     ap.add_argument("--artifact", default=None,
                     help="also render a showcase PNG (800x450, 64 spp)")
     a = ap.parse_args()
@@ -48,7 +51,14 @@ def main() -> int:
         prepare_scene,
     )
 
-    scene = build_scene("sphereflake")
+    if a.flake_depth is not None:
+        from hyper_ray_tracer_tpu.models.builders import sphereflake
+
+        scene = sphereflake(a.flake_depth, f"sphereflake-{a.flake_depth}")
+    else:
+        scene = build_scene("sphereflake")
+    print(f"# {scene.name}: {scene.static.n_prims} primitives",
+          file=sys.stderr)
     W, H, SPP = a.width, a.height, a.spp
     n_rays = W * H * SPP
     basis = jax.device_put(make_basis(scene.camera, W, H))
@@ -68,7 +78,7 @@ def main() -> int:
             out = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(0))
             best = min(best, time.perf_counter() - t0)
         print(json.dumps({
-            "metric": f"sphereflake_camera_mrays_per_s_depth{a.depth}",
+            "metric": f"{scene.name}_camera_mrays_per_s_depth{a.depth}",
             "mode": mode, "value": round(n_rays / best / 1e6, 3),
             "unit": "Mrays/s", "seconds": round(best, 3),
             "mean_radiance": round(float(np.mean(out)), 4),
