@@ -31,12 +31,15 @@ def main() -> int:
     ap.add_argument("scene", nargs="?", default="random")
     # Defaults saturate the chip: 400x225x8 = 720k rays measured as the
     # fwd+bwd sweet spot on TPU v5e (tools/prof_bwd.py; 44.8k-ray launches
-    # under-report by ~2.4x, 1.44M regresses ~11% on backward-residual
-    # memory pressure).
+    # under-report by ~2.4x; 1.44M regresses ~11% — NOT residual-memory
+    # pressure: per-bounce remat leaves it at 1.18 Mrays/s either way).
     ap.add_argument("width", nargs="?", type=int, default=400)
     ap.add_argument("height", nargs="?", type=int, default=225)
     ap.add_argument("spp", nargs="?", type=int, default=8)
     ap.add_argument("depth", nargs="?", type=int, default=8)
+    ap.add_argument("--remat", action="store_true",
+                    help="force per-bounce remat (auto for depth > 16): "
+                         "trades recompute for backward-residual memory")
     ap.add_argument("--compact", action="store_true",
                     help="train through the scheduled compacted descent "
                          "(one extra counted probe pass; gradients are "
@@ -84,7 +87,7 @@ def main() -> int:
                                          arrays, bvh, basis, pix, sam)
         print(f"# compact schedule: {sched}", file=sys.stderr)
     init, step = make_train_step(scene, W, H, DEPTH, intersector,
-                                 remat=DEPTH > 16, compact_sched=sched,
+                                 remat=a.remat or DEPTH > 16, compact_sched=sched,
                                  partition_sched=psched)
 
     state = init(arrays)

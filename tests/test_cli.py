@@ -47,3 +47,20 @@ def test_cli_checkpoint_resume(tmp_path):
     a = np.asarray(Image.open(out1))
     b = np.asarray(Image.open(out2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_progressive_preview(tmp_path):
+    """--preview writes a viewable progressive PNG (the reference's
+    tile-streaming display, redesigned as a file) that ends equal to the
+    final image."""
+    out = tmp_path / "o.png"
+    pv = tmp_path / "p.png"
+    rc = main([
+        "--scene", "three-spheres", "--width", "32", "--height", "18",
+        "--samples", "4", "--depth", "4", "--spp-chunk", "2",
+        "--output", str(out), "--preview", str(pv), "--verbosity", "0",
+    ])
+    assert rc == 0
+    a = np.asarray(Image.open(out))
+    b = np.asarray(Image.open(pv))
+    np.testing.assert_array_equal(a, b)
