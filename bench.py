@@ -30,6 +30,50 @@ W, H, SPP, DEPTH = 400, 225, 16, 10
 SCENE = "final"
 
 
+def _fwd_bwd_extra(reps: int = 3) -> dict:
+    """Measure the fwd+bwd secondary metric (bench_grad.py defaults:
+    final scene, 400x225x8 = 720k rays, depth 8, partitioned descent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyper_ray_tracer_tpu import build_scene
+    from hyper_ray_tracer_tpu.camera import make_basis
+    from hyper_ray_tracer_tpu.render import prepare_scene
+    from hyper_ray_tracer_tpu.train import (
+        make_train_step,
+        measure_partition_schedule,
+    )
+
+    Wg, Hg, SPPg, depth = 400, 225, 8, 8
+    scene = build_scene(SCENE)
+    arrays, bvh, mode = prepare_scene(scene)
+    basis = make_basis(scene.camera, Wg, Hg)
+    arrays, bvh, basis = jax.device_put((arrays, bvh, basis))
+    pix = jnp.broadcast_to(jnp.arange(Wg * Hg, dtype=jnp.int32),
+                           (SPPg, Wg * Hg))
+    sam = jnp.broadcast_to(jnp.arange(SPPg, dtype=jnp.int32)[:, None],
+                           (SPPg, Wg * Hg))
+    target = jnp.zeros((Wg * Hg, 3), jnp.float32)
+    psched = measure_partition_schedule(scene, Wg, Hg, depth, mode,
+                                        arrays, bvh, basis, pix, sam)
+    init, step = make_train_step(scene, Wg, Hg, depth, mode,
+                                 partition_sched=psched)
+    state = init(arrays)
+    step_jit = jax.jit(step)
+    _, loss = step_jit(state, arrays, bvh, basis, pix, sam, np.uint32(0),
+                       target)
+    np.asarray(loss)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, loss = step_jit(state, arrays, bvh, basis, pix, sam,
+                           np.uint32(0), target)
+        np.asarray(loss)
+        best = min(best, time.perf_counter() - t0)
+    return {"fwd_bwd_camera_mrays_per_s_depth8": round(
+        Wg * Hg * SPPg / best / 1e6, 3)}
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -68,6 +112,17 @@ def main() -> int:
 
     mrays = n_rays / best / 1e6
     mean = float(out.mean())
+
+    # Secondary metric (BASELINE.md north-star headline): camera Mrays/s
+    # through a full fwd+bwd adam train step via the partitioned compacted
+    # descent, at the measured 720k-ray saturating launch.  Best-effort:
+    # the primary (forward) metric above must survive even if this path
+    # regresses, so failures just omit the extra keys.
+    extra = {}
+    try:
+        extra = _fwd_bwd_extra()
+    except Exception as e:  # pragma: no cover - defensive driver contract
+        print(f"# fwd+bwd secondary metric skipped: {e!r}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -77,6 +132,7 @@ def main() -> int:
                 "vs_baseline": round(mrays / BASELINE_CPU_MRAYS, 3),
                 "baseline": "estimated (reference publishes no numbers; "
                 "divisor is a ~1.0 Mrays/s estimate of the Rust CPU build)",
+                **extra,
             }
         )
     )
