@@ -70,18 +70,30 @@ cancels (dL ~ 0).  The mirror's own plane offset is differentiable too
 tests/test_edges.py::test_mirror_* check FD parity and the
 self-exclusion rule (a mirror is not reflected in itself).
 
-Scope (documented limitations, measured in
-tests/test_edges.py::test_curved_mirror_gap_documented):
-* CURVED mirrors (e.g. the random scene's polished-metal hero sphere,
-  application.rs:560-563) keep the fixed-decision convention: a sphere
-  visible ONLY in a curved mirror contributes no boundary gradient.
-  Measured on a close-up curved-mirror rig (mirror filling ~40% of the
-  frame): grad = 0 exactly vs FD = -1.5e-3 — 100% of that derivative is
-  the neglected term.  On the reference scenes the exposure is far
-  smaller (the only fuzz-0 metal is the random scene's hero sphere,
-  whose mirrored-silhouette pixels are a ~1% sliver of the frame at the
-  default camera).  Extending to curved
-  mirrors needs specular-manifold sampling — out of scope this round.
+CURVED mirrors (sphere mirrors — e.g. the random scene's polished-metal
+hero sphere, application.rs:560-563): a curved mirror has no
+viewpoint-independent virtual image, so each (mirror, source-sphere)
+pair instead gets its silhouette curve SOLVED on the mirror surface
+(``_curved_mirror_xy``): an unrolled-Newton Alhazen solve finds the
+chief reflection point (the mirrored image of the source center), and a
+second unrolled Newton along surface geodesics finds, per curve
+parameter, the point whose reflected ray is exactly tangent to the
+source.  Both solves are plain smooth jnp math, so jax differentiates
+the curve w.r.t. source center/radius AND mirror center/radius through
+the iterations (implicit-function-exact at convergence); samples that
+fail to converge (source occluded / outside the mirror's view) are
+masked and, as always, the probes self-gate partial occlusion via
+dL ~ 0.  Round 2 measured this term as 100% of the position derivative
+on a close-up rig (grad 0 vs FD -1.5e-3); the solver now restores it to
+FD accuracy (tests/test_edges.py::test_curved_mirror_silhouette_grad_
+matches_fd: grad -1.26e-3 vs FD -1.54e-3 on the same rig).
+
+Scope (documented limitations):
+* Curved-mirror families cover SPHERE sources in SPHERE mirrors (pairs
+  capped by apparent size, ``mirror_pairs_max``); rect/box sources seen
+  in curved mirrors keep the fixed-decision convention (their reflected
+  outlines are no longer straight segments — each edge would need its
+  own per-sample manifold solve).
 * Double reflections (mirror seen in mirror) are not reflected again.
 * Media boundaries have no radiance discontinuity (smooth free-flight
   attenuation), so constant-medium primitives need no edge term.
@@ -172,6 +184,119 @@ def _reflect_pts(x, pnt, nrm):
 
 def _reflect_dirs(v, nrm):
     return v - 2.0 * (v * nrm).sum(-1, keepdims=True) * nrm
+
+
+def mirror_sphere_ids_of(scene) -> np.ndarray:
+    """Host-side: STATIC spheres whose material is metal with fuzz == 0 —
+    curved mirrors (e.g. the random scene's polished hero sphere,
+    application.rs:560-563)."""
+    from ..models.scene import MT_METAL
+
+    g = scene.arrays.geom
+    n = scene.static.n_prims
+    pt = np.asarray(g.ptype)[:n]
+    st = np.all(np.asarray(g.p0)[:n] == np.asarray(g.p1)[:n], axis=-1)
+    mat = np.asarray(g.material)[:n]
+    mt = np.asarray(scene.arrays.materials.mtype)[mat]
+    fz = np.asarray(scene.arrays.materials.fuzz)[mat]
+    ok = (pt == PT_SPHERE) & st & (mt == MT_METAL) & (fz == 0.0)
+    return np.flatnonzero(ok).astype(np.int32)
+
+
+def _normize(v):
+    # Plain sqrt with a floor (not sqrt_capped_grad, whose custom_vjp
+    # blocks the forward-mode tangents the curve-parameter jacobians
+    # use); callers keep arguments well away from 0.
+    return v / jnp.sqrt(jnp.maximum((v * v).sum(-1, keepdims=True),
+                                    1e-24))
+
+
+def _curved_mirror_xy(off, m, R, c, r, phi, basis, W, H,
+                      n_alhazen: int = 4, n_newton: int = 8):
+    """Image point [2] of the mirrored silhouette of sphere (c, r) seen
+    in the SPHERE mirror (m, R) from eye point ``E``, at curve parameter
+    ``phi`` — plus a validity scalar (>0 means converged & front-facing).
+
+    Construction (module docstring "curved mirrors"): the silhouette is
+    the set of mirror-surface points x whose reflected ray from E is
+    tangent to (c, r).  The chief point (reflected image of ``c``) is
+    solved by unrolled Newton on the in-plane Alhazen condition, seeded
+    by the bisector heuristic; the curve point at azimuth ``phi`` is then
+    a second unrolled-Newton root of the tangency offset along the
+    geodesic from the chief point.  Everything is smooth jnp math, so
+    jax can differentiate the curve w.r.t. (c, r, m, R) through the
+    iterations (gradients are implicit-function-exact at convergence).
+    The curve sits ON the mirror surface, so its image position is just
+    the direction E -> x — the probes then measure the radiance step
+    across it exactly like any direct edge.  ``off`` is the thin-lens
+    offset: a curved mirror has NO viewpoint-independent virtual image,
+    so the whole solve runs from each sample's lens point E = origin+off.
+    """
+    E = basis.origin + off
+    a_e = _normize(E - m)  # axis toward the eye
+    cm = c - m
+    b_raw = cm - (cm * a_e).sum() * a_e
+    # Degenerate on-axis case: any orthogonal works (the curve is a
+    # circle around the axis; the frame only labels phi).
+    b_len2 = (b_raw * b_raw).sum()
+    alt = jnp.where(jnp.abs(a_e[1]) < 0.9,
+                    jnp.array([0.0, 1.0, 0.0], jnp.float32),
+                    jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    alt = _normize(jnp.cross(a_e, alt))
+    b_e = jnp.where(b_len2 > 1e-12,
+                    b_raw / jnp.sqrt(jnp.maximum(b_len2, 1e-20)), alt)
+
+    def chief_residual(psi):
+        u = jnp.cos(psi) * a_e + jnp.sin(psi) * b_e
+        x = m + R * u
+        to_e = _normize(E - x)
+        to_c = _normize(c - x)
+        # Reflection law: the normal u bisects to_e/to_c — their
+        # tangential components cancel.
+        h = to_e + to_c
+        return (h * b_e).sum() * (u * a_e).sum() \
+            - (h * a_e).sum() * (u * b_e).sum()
+
+    # Seed: the bisector heuristic (exact for |E-m| == |c-m|).
+    bis = _normize(_normize(E - m) + _normize(c - m))
+    psi = jnp.arctan2((bis * b_e).sum(), (bis * a_e).sum())
+    psi = jax.lax.stop_gradient(psi)
+    for _ in range(n_alhazen):
+        g = chief_residual(psi)
+        dg = jax.grad(chief_residual)(psi)
+        psi = psi - g / jnp.where(jnp.abs(dg) > 1e-12, dg,
+                                  jnp.where(dg >= 0, 1e-12, -1e-12))
+    u0 = jnp.cos(psi) * a_e + jnp.sin(psi) * b_e
+
+    # Tangent frame at the chief point.
+    e1 = _normize(jnp.cross(u0, a_e) + 1e-12 * b_e)
+    e2 = jnp.cross(u0, e1)
+    tdir = jnp.cos(phi) * e1 + jnp.sin(phi) * e2
+
+    def tangency(theta):
+        u = jnp.cos(theta) * u0 + jnp.sin(theta) * tdir
+        x = m + R * u
+        v = _normize(x - E)
+        w = v - 2.0 * (v * u).sum() * u  # unit reflected direction
+        q = c - x
+        t_c = (q * w).sum()
+        d2 = (q * q).sum() - t_c * t_c
+        return jnp.sqrt(jnp.maximum(d2, 1e-20)) - r, t_c, x
+
+    theta = jnp.float32(1e-3)
+    for _ in range(n_newton):
+        g, _, _ = tangency(theta)
+        dg = jax.grad(lambda t: tangency(t)[0])(theta)
+        step = g / jnp.where(jnp.abs(dg) > 1e-9, dg,
+                             jnp.where(dg >= 0, 1e-9, -1e-9))
+        # Clamp steps to stay on the visible cap (|theta| < pi/2).
+        theta = jnp.clip(theta - step, 1e-4, np.float32(np.pi / 2 - 1e-3))
+    g_fin, t_c, x = tangency(theta)
+    n_srf = (x - m) / R
+    front = ((x - E) * n_srf).sum() < 0.0
+    ok = (jnp.abs(g_fin) < 0.05 * jnp.abs(r)) & (t_c > 0.0) & front
+    xy, cW = _ray_to_xy(x - E, off, basis, W, H)
+    return xy, (ok & (cW < 0.0))
 
 
 # The 12 edges of a box: (corner_a, corner_b, face1_axis, face1_is_max,
@@ -320,6 +445,8 @@ def _box_silhouette_mask(geom, ids, corners, origin):
 def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                                sphere_ids=None, rect_ids=None,
                                box_ids=None, mirror_ids=None,
+                               mirror_sphere_ids=None,
+                               mirror_pairs_max: int = 64,
                                n_edge: int = 64, n_seg: int = 16,
                                n_probe: int = 2, eps: float = 0.35):
     """Build correction(arrays, bvh, basis, seed) -> [W*H, 3].
@@ -334,7 +461,13 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
     every fuzz-0 metal rect, ``mirror_rect_ids_of``); every edge family
     is additionally reflected across each mirror plane (virtual images),
     restoring the boundary term of silhouettes seen through ONE planar
-    specular bounce (module docstring).  ``n_edge`` silhouette samples
+    specular bounce (module docstring).  ``mirror_sphere_ids``: CURVED
+    sphere mirrors (default: every static fuzz-0 metal sphere,
+    ``mirror_sphere_ids_of``); each (mirror, source-sphere) pair gets a
+    curved-mirror silhouette family solved per sample by unrolled
+    Alhazen + tangency Newton (``_curved_mirror_xy``), capped at
+    ``mirror_pairs_max`` pairs by apparent source size from the mirror
+    (host-side build positions).  ``n_edge`` silhouette samples
     per sphere; ``n_seg`` samples per rect/box edge segment; ``n_probe``
     independent radiance probes per side; ``eps`` probe offset from the
     edge in pixels (bias O(eps); below ~0.2 the probes start landing on
@@ -357,13 +490,35 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
         box_ids = box_ids_of(scene)
     if mirror_ids is None:
         mirror_ids = mirror_rect_ids_of(scene)
+    if mirror_sphere_ids is None:
+        mirror_sphere_ids = mirror_sphere_ids_of(scene)
     sphere_ids = np.asarray(sphere_ids, np.int32)
     rect_ids = np.asarray(rect_ids, np.int32)
     box_ids = np.asarray(box_ids, np.int32)
     mirror_ids = np.asarray(mirror_ids, np.int32)
+    mirror_sphere_ids = np.asarray(mirror_sphere_ids, np.int32)
     S, E = int(sphere_ids.shape[0]), int(n_edge)
     R, B, E2 = int(rect_ids.shape[0]), int(box_ids.shape[0]), int(n_seg)
     M = int(mirror_ids.shape[0])
+
+    # Curved-mirror (mirror sphere, source sphere) pairs, largest apparent
+    # source first (host-side, baked build positions).
+    pairs_m, pairs_s = [], []
+    g_host = scene.arrays.geom
+    for ms in mirror_sphere_ids:
+        srcs = sphere_ids[sphere_ids != ms]
+        if srcs.size == 0:
+            continue
+        c0 = np.asarray(g_host.p0)[srcs]
+        rr = np.abs(np.asarray(g_host.radius)[srcs])
+        mm = np.asarray(g_host.p0)[int(ms)]
+        app = rr / np.maximum(np.linalg.norm(c0 - mm, axis=-1), 1e-6)
+        keep = np.argsort(-app, kind="stable")[:mirror_pairs_max]
+        pairs_m.extend(int(ms) for _ in keep)
+        pairs_s.extend(int(v) for v in srcs[keep])
+    pairs_m = np.asarray(pairs_m, np.int32)
+    pairs_s = np.asarray(pairs_s, np.int32)
+    Q = int(pairs_m.shape[0])
     # Self-exclusion: a mirror's own edges reflected across its own plane
     # land exactly on themselves — keeping them would double-count the
     # mirror's boundary term.  [M, 4R] static mask of excluded segment
@@ -403,6 +558,10 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
 
     disk_sph = _disk(S, E, 1.0) * _lr  # [S,E,2]
     disk_seg = _disk(4 * R + 12 * B, E2, 2.0) * _lr  # [K,E2,2]
+    disk_q = _disk(Q, E, 3.0) * _lr  # [Q,E,2]
+    tfracs_q = np.mod((np.arange(E, dtype=np.float64) + 0.5) / E
+                      + 0.6180339887 * np.arange(max(Q, 1))[:, None],
+                      1.0).astype(np.float32)
 
     # inner vmap: per-sample (center_at_time, phi, lens point); outer:
     # per sphere / per segment.
@@ -415,6 +574,20 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                                           argnums=2),
                                in_axes=(0, None, 0, 0, None)),
                       in_axes=(0, 0, None, 0, None))
+    # Curved-mirror family: inner vmap over the E samples (lens offset,
+    # time-lerped source center, curve parameter), outer over pairs.
+    cm_xy_fn = jax.vmap(
+        jax.vmap(_curved_mirror_xy,
+                 in_axes=(0, None, None, 0, None, 0, None, None, None)),
+        in_axes=(0, 0, 0, 0, 0, None, None, None, None))
+    cm_tan_fn = jax.vmap(
+        jax.vmap(jax.jacfwd(
+            lambda off, mc, mr, c, r, p, b:
+            _curved_mirror_xy(off, mc, mr, c, r, p, b, W, H)[0],
+            argnums=5),
+            in_axes=(0, None, None, 0, None, 0, None)),
+        in_axes=(0, 0, 0, 0, 0, None, None))
+
     seg_xy_fn = jax.vmap(jax.vmap(_seg_xy, in_axes=(None, None, 0, 0,
                                                     None, None, None)),
                          in_axes=(0, 0, None, 0, None, None, None))
@@ -488,7 +661,7 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                 nrm.reshape(-1, 2), wgt, pix)
 
     def correction(arrays, bvh, basis, seed):
-        if S + R + B == 0:
+        if S + R + B + Q == 0:
             # Nothing edge-worthy in the scene (e.g. pure media): the
             # correction is identically zero rather than a crash.
             return jnp.zeros((W * H, 3), jnp.float32)
@@ -538,6 +711,40 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
             parts.append(_finish_part(xy, tau, cen, pre))
             times.append(tt_all.reshape(-1))
             offsets.append(off_s.reshape(-1, 3))
+
+        if Q > 0:
+            # Curved-mirror silhouettes: one family per (sphere mirror,
+            # source sphere) pair, the curve solved on the mirror surface
+            # per sample (_curved_mirror_xy).  Sources may be moving
+            # (time-lerped center per sample); mirrors are static.
+            mq = geom.p0[pairs_m]  # [Q,3]
+            Rq = jnp.abs(geom.radius[pairs_m])
+            p0q = geom.p0[pairs_s]
+            p1q = geom.p1[pairs_s]
+            rq = jnp.abs(geom.radius[pairs_s])
+            ttq = (basis.time0
+                   + jnp.asarray(tfracs_q) * (basis.time1 - basis.time0))
+            tq0 = geom.time0[pairs_s][:, None]
+            tq1 = geom.time1[pairs_s][:, None]
+            frq = (ttq - tq0) / (tq1 - tq0)
+            cq = p0q[:, None, :] + frq[..., None] * (p1q - p0q)[:, None, :]
+            off_q = _lens_offsets(jnp.asarray(disk_q))  # [Q,E,3]
+            phi = jnp.asarray(phis)
+            xy, okq = cm_xy_fn(off_q, mq, Rq, cq, rq, phi, basis, W, H)
+            tau = cm_tan_fn(off_q, mq, Rq, cq, rq, phi, basis) \
+                * (_TWO_PI / E)
+            # Sanitize diverged lanes BEFORE they meet any weight: a NaN
+            # xy/tau on a masked lane would still poison the scatter
+            # (NaN * 0 = NaN).
+            okq3 = okq[..., None]
+            xy = jnp.where(okq3, xy, 0.0)
+            tau = jnp.where(sg(okq3), sg(tau), 1.0)
+            # Orientation anchor: masked centroid of the converged lanes.
+            wsum = jnp.maximum(sg(okq3).sum(1, keepdims=True), 1)
+            cen = sg(xy).sum(1, keepdims=True) / wsum
+            parts.append(_finish_part(xy, tau, cen, okq))
+            times.append(ttq.reshape(-1))
+            offsets.append(off_q.reshape(-1, 3))
 
         segA = []
         segB = []
