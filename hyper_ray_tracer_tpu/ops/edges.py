@@ -88,12 +88,15 @@ on a close-up rig (grad 0 vs FD -1.5e-3); the solver now restores it to
 FD accuracy (tests/test_edges.py::test_curved_mirror_silhouette_grad_
 matches_fd: grad -1.26e-3 vs FD -1.54e-3 on the same rig).
 
+Rect/box sources in curved mirrors need no tangency solve at all: a
+boundary segment is a point set, and a point's mirrored image is just
+the Alhazen chief point — so each sample is one chief solve
+(``_curved_mirror_point_xy``), with box silhouette-edge tests evaluated
+from the per-sample reflection point (the viewpoint the real geometry
+is seen from).  Pairs are capped by apparent segment size
+(``mirror_pairs_max`` per mirror).
+
 Scope (documented limitations):
-* Curved-mirror families cover SPHERE sources in SPHERE mirrors (pairs
-  capped by apparent size, ``mirror_pairs_max``); rect/box sources seen
-  in curved mirrors keep the fixed-decision convention (their reflected
-  outlines are no longer straight segments — each edge would need its
-  own per-sample manifold solve).
 * Double reflections (mirror seen in mirror) are not reflected again.
 * Media boundaries have no radiance discontinuity (smooth free-flight
   attenuation), so constant-medium primitives need no edge term.
@@ -211,6 +214,72 @@ def _normize(v):
                                     1e-24))
 
 
+def _alhazen_chief(E, m, R, c, n_alhazen: int = 4):
+    """Reflection point of target ``c`` on sphere mirror (m, R) seen from
+    eye ``E`` (the classical Alhazen problem): unrolled Newton on the
+    in-plane reflection condition, seeded by the bisector heuristic
+    (exact when |E-m| == |c-m|).  Returns (u0, a_e, b_e): the unit
+    surface direction of the chief point and the in-plane frame."""
+    a_e = _normize(E - m)  # axis toward the eye
+    cm = c - m
+    b_raw = cm - (cm * a_e).sum() * a_e
+    # Degenerate on-axis case: any orthogonal works (the configuration
+    # is rotationally symmetric; the frame only labels directions).
+    b_len2 = (b_raw * b_raw).sum()
+    alt = jnp.where(jnp.abs(a_e[1]) < 0.9,
+                    jnp.array([0.0, 1.0, 0.0], jnp.float32),
+                    jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    alt = _normize(jnp.cross(a_e, alt))
+    b_e = jnp.where(b_len2 > 1e-12,
+                    b_raw / jnp.sqrt(jnp.maximum(b_len2, 1e-20)), alt)
+
+    def chief_residual(psi):
+        u = jnp.cos(psi) * a_e + jnp.sin(psi) * b_e
+        x = m + R * u
+        to_e = _normize(E - x)
+        to_c = _normize(c - x)
+        # Reflection law: the normal u bisects to_e/to_c — their
+        # tangential components cancel.
+        h = to_e + to_c
+        return (h * b_e).sum() * (u * a_e).sum() \
+            - (h * a_e).sum() * (u * b_e).sum()
+
+    bis = _normize(_normize(E - m) + _normize(c - m))
+    psi = jnp.arctan2((bis * b_e).sum(), (bis * a_e).sum())
+    psi = jax.lax.stop_gradient(psi)
+    for _ in range(n_alhazen):
+        g = chief_residual(psi)
+        dg = jax.grad(chief_residual)(psi)
+        psi = psi - g / jnp.where(jnp.abs(dg) > 1e-12, dg,
+                                  jnp.where(dg >= 0, 1e-12, -1e-12))
+    u0 = jnp.cos(psi) * a_e + jnp.sin(psi) * b_e
+    return u0, a_e, b_e
+
+
+def _curved_mirror_point_xy(off, m, R, p, basis, W, H,
+                            n_alhazen: int = 6):
+    """Image point [2] of the mirrored image of WORLD POINT ``p`` in the
+    sphere mirror (m, R) from lens point origin+off, plus validity.
+
+    The mirrored image of a point needs only the chief (Alhazen) solve —
+    no tangency Newton — which is what makes rect/box sources in curved
+    mirrors tractable: their boundary segments are point sets, so each
+    sample is one chief solve.  Validity requires convergence (the
+    reflected ray really points at ``p``), a front-facing reflection
+    point, and an in-front image ray.  Also returns the reflection point
+    ``x`` (the per-sample viewpoint for box silhouette-edge tests)."""
+    E = basis.origin + off
+    u0, _, _ = _alhazen_chief(E, m, R, p, n_alhazen)
+    x = m + R * u0
+    v = _normize(x - E)
+    w = v - 2.0 * (v * u0).sum() * u0
+    to_p = _normize(p - x)
+    aligned = (w * to_p).sum() > 0.999
+    front = ((x - E) * u0).sum() < 0.0
+    xy, cW = _ray_to_xy(x - E, off, basis, W, H)
+    return xy, (aligned & front & (cW < 0.0)), x
+
+
 def _curved_mirror_xy(off, m, R, c, r, phi, basis, W, H,
                       n_alhazen: int = 4, n_newton: int = 8):
     """Image point [2] of the mirrored silhouette of sphere (c, r) seen
@@ -233,40 +302,7 @@ def _curved_mirror_xy(off, m, R, c, r, phi, basis, W, H,
     so the whole solve runs from each sample's lens point E = origin+off.
     """
     E = basis.origin + off
-    a_e = _normize(E - m)  # axis toward the eye
-    cm = c - m
-    b_raw = cm - (cm * a_e).sum() * a_e
-    # Degenerate on-axis case: any orthogonal works (the curve is a
-    # circle around the axis; the frame only labels phi).
-    b_len2 = (b_raw * b_raw).sum()
-    alt = jnp.where(jnp.abs(a_e[1]) < 0.9,
-                    jnp.array([0.0, 1.0, 0.0], jnp.float32),
-                    jnp.array([1.0, 0.0, 0.0], jnp.float32))
-    alt = _normize(jnp.cross(a_e, alt))
-    b_e = jnp.where(b_len2 > 1e-12,
-                    b_raw / jnp.sqrt(jnp.maximum(b_len2, 1e-20)), alt)
-
-    def chief_residual(psi):
-        u = jnp.cos(psi) * a_e + jnp.sin(psi) * b_e
-        x = m + R * u
-        to_e = _normize(E - x)
-        to_c = _normize(c - x)
-        # Reflection law: the normal u bisects to_e/to_c — their
-        # tangential components cancel.
-        h = to_e + to_c
-        return (h * b_e).sum() * (u * a_e).sum() \
-            - (h * a_e).sum() * (u * b_e).sum()
-
-    # Seed: the bisector heuristic (exact for |E-m| == |c-m|).
-    bis = _normize(_normize(E - m) + _normize(c - m))
-    psi = jnp.arctan2((bis * b_e).sum(), (bis * a_e).sum())
-    psi = jax.lax.stop_gradient(psi)
-    for _ in range(n_alhazen):
-        g = chief_residual(psi)
-        dg = jax.grad(chief_residual)(psi)
-        psi = psi - g / jnp.where(jnp.abs(dg) > 1e-12, dg,
-                                  jnp.where(dg >= 0, 1e-12, -1e-12))
-    u0 = jnp.cos(psi) * a_e + jnp.sin(psi) * b_e
+    u0, a_e, b_e = _alhazen_chief(E, m, R, c, n_alhazen)
 
     # Tangent frame at the chief point.
     e1 = _normize(jnp.cross(u0, a_e) + 1e-12 * b_e)
@@ -519,6 +555,40 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
     pairs_m = np.asarray(pairs_m, np.int32)
     pairs_s = np.asarray(pairs_s, np.int32)
     Q = int(pairs_m.shape[0])
+
+    # Curved-mirror SEGMENT pairs (rect/box sources): per sphere mirror,
+    # the largest-apparent boundary segments (host-side baked geometry).
+    # Row r of the base segment arrays = rect r//4's edge r%4 for
+    # r < 4R, else box (r-4R)//12's edge (r-4R)%12.
+    K0 = 4 * R + 12 * B
+    cms_m, cms_sel = [], []
+    if K0 and len(mirror_sphere_ids):
+        host_mid = []
+        host_len = []
+        if R > 0:
+            rc_h = np.asarray(_rect_corners(g_host, rect_ids))
+            a = rc_h.reshape(-1, 3)
+            bb = np.roll(rc_h, -1, axis=1).reshape(-1, 3)
+            host_mid.append(0.5 * (a + bb))
+            host_len.append(np.linalg.norm(bb - a, axis=-1))
+        if B > 0:
+            bc_h = np.asarray(_box_corners(g_host, box_ids))
+            a = bc_h[:, _BOX_EA].reshape(-1, 3)
+            bb = bc_h[:, _BOX_EB].reshape(-1, 3)
+            host_mid.append(0.5 * (a + bb))
+            host_len.append(np.linalg.norm(bb - a, axis=-1))
+        host_mid = np.concatenate(host_mid)
+        host_len = np.concatenate(host_len)
+        for ms in mirror_sphere_ids:
+            mm = np.asarray(g_host.p0)[int(ms)]
+            app = host_len / np.maximum(
+                np.linalg.norm(host_mid - mm, axis=-1), 1e-6)
+            keep = np.argsort(-app, kind="stable")[:mirror_pairs_max]
+            cms_m.extend(int(ms) for _ in keep)
+            cms_sel.extend(int(v) for v in keep)
+    cms_m = np.asarray(cms_m, np.int32)
+    cms_sel = np.asarray(cms_sel, np.int32)
+    Q2 = int(cms_m.shape[0])
     # Self-exclusion: a mirror's own edges reflected across its own plane
     # land exactly on themselves — keeping them would double-count the
     # mirror's boundary term.  [M, 4R] static mask of excluded segment
@@ -559,6 +629,7 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
     disk_sph = _disk(S, E, 1.0) * _lr  # [S,E,2]
     disk_seg = _disk(4 * R + 12 * B, E2, 2.0) * _lr  # [K,E2,2]
     disk_q = _disk(Q, E, 3.0) * _lr  # [Q,E,2]
+    disk_q2 = _disk(Q2, E2, 4.0) * _lr  # [Q2,E2,2]
     tfracs_q = np.mod((np.arange(E, dtype=np.float64) + 0.5) / E
                       + 0.6180339887 * np.arange(max(Q, 1))[:, None],
                       1.0).astype(np.float32)
@@ -587,6 +658,27 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
             argnums=5),
             in_axes=(0, None, None, 0, None, 0, None)),
         in_axes=(0, 0, 0, 0, 0, None, None))
+
+    # Curved-mirror segment family: per (mirror, segment) pair, each
+    # sample is one Alhazen chief solve of the segment point's mirrored
+    # image.
+    def _cm_seg(off, mc, mr, pa, pb, u, b):
+        return _curved_mirror_point_xy(off, mc, mr, pa + u * (pb - pa),
+                                       b, W, H)
+
+    cms_xy_fn = jax.vmap(
+        jax.vmap(_cm_seg, in_axes=(0, None, None, None, None, 0, None)),
+        in_axes=(0, 0, 0, 0, 0, None, None))
+    cms_tan_fn = jax.vmap(
+        jax.vmap(jax.jacfwd(
+            lambda off, mc, mr, pa, pb, u, b:
+            _cm_seg(off, mc, mr, pa, pb, u, b)[0], argnums=5),
+            in_axes=(0, None, None, None, None, 0, None)),
+        in_axes=(0, 0, 0, 0, 0, None, None))
+    cmp_cen_fn = jax.vmap(
+        lambda mc, mr, p, b: _curved_mirror_point_xy(
+            jnp.zeros(3, jnp.float32), mc, mr, p, b, W, H)[:2],
+        in_axes=(0, 0, 0, None))
 
     seg_xy_fn = jax.vmap(jax.vmap(_seg_xy, in_axes=(None, None, 0, 0,
                                                     None, None, None)),
@@ -817,6 +909,57 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
             times.append(jnp.full((xy.shape[0] * xy.shape[1],), mid,
                                   jnp.float32))
             offsets.append(off_g.reshape(-1, 3))
+
+        if Q2 > 0:
+            # Rect/box boundary segments seen in CURVED mirrors: one
+            # Alhazen chief solve per sample (_curved_mirror_point_xy).
+            pa_parts, pb_parts, n_parts, cen3_parts = [], [], [], []
+            if R > 0:
+                pa_parts.append(rc.reshape(-1, 3))
+                pb_parts.append(jnp.roll(rc, -1, axis=1).reshape(-1, 3))
+                n_parts.append(jnp.zeros((R * 4, 2, 3), jnp.float32))
+                cen3_parts.append(jnp.repeat(rc.mean(1), 4, axis=0))
+            if B > 0:
+                pa_parts.append(bc[:, _BOX_EA].reshape(-1, 3))
+                pb_parts.append(bc[:, _BOX_EB].reshape(-1, 3))
+                n_parts.append(bn.reshape(-1, 2, 3))
+                cen3_parts.append(jnp.repeat(bc.mean(1), 12, axis=0))
+            pa_b = jnp.concatenate(pa_parts)[cms_sel]  # [Q2,3]
+            pb_b = jnp.concatenate(pb_parts)[cms_sel]
+            n12b = jnp.concatenate(n_parts)[cms_sel]  # [Q2,2,3]
+            cen3 = jnp.concatenate(cen3_parts)[cms_sel]
+            mq2 = geom.p0[cms_m]
+            Rq2 = jnp.abs(geom.radius[cms_m])
+            u = jnp.asarray(us)
+            offq2 = _lens_offsets(jnp.asarray(disk_q2))  # [Q2,E2,3]
+            xy, okc, xrf = cms_xy_fn(offq2, mq2, Rq2, pa_b, pb_b, u,
+                                     basis)
+            tau = cms_tan_fn(offq2, mq2, Rq2, pa_b, pb_b, u, basis) \
+                * (1.0 / E2)
+            # Box silhouette-edge test from the per-sample REFLECTION
+            # point (the viewpoint the real geometry is seen from).
+            is_box = (n12b * n12b).sum((-1, -2)) > 0.0
+            x_p = (sg(pa_b)[:, None, :]
+                   + u[None, :, None] * (sg(pb_b) - sg(pa_b))[:, None, :])
+            v = x_p - sg(xrf)
+            d1 = (n12b[:, None, 0, :] * v).sum(-1)
+            d2 = (n12b[:, None, 1, :] * v).sum(-1)
+            okc = okc & jnp.where(is_box[:, None], (d1 * d2) < 0.0, True)
+            okc3 = okc[..., None]
+            xy = jnp.where(okc3, xy, 0.0)  # sanitize diverged lanes
+            tau = jnp.where(sg(okc3), sg(tau), 1.0)
+            # Orientation anchor: the mirrored image of the solid's
+            # center; masked sample centroid as fallback when that solve
+            # itself diverges.
+            cen_xy, cen_ok = cmp_cen_fn(mq2, Rq2, sg(cen3), basis)
+            wsum = jnp.maximum(sg(okc3).sum(1, keepdims=True), 1)
+            cen_fb = sg(xy).sum(1, keepdims=True) / wsum
+            cen = jnp.where(sg(cen_ok)[:, None, None], sg(cen_xy)[:, None],
+                            cen_fb)
+            parts.append(_finish_part(xy, tau, cen, okc))
+            mid = basis.time0 + 0.5 * (basis.time1 - basis.time0)
+            times.append(jnp.full((Q2 * E2,), mid, jnp.float32))
+            offsets.append(offq2.reshape(-1, 3))
 
         flat_xy = jnp.concatenate([p[0] for p in parts])
         flat_xy_p = jnp.concatenate([p[1] for p in parts])

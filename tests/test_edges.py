@@ -685,3 +685,44 @@ def test_random_scene_hero_is_curved_mirror():
     grads = jax.grad(loss)(extract_params(arrays))
     for k, v in grads.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_rect_in_curved_mirror_grad_matches_fd():
+    """A rect visible ONLY in a polished-sphere mirror: segment sources
+    get per-sample Alhazen chief solves (_curved_mirror_point_xy), so
+    the in-plane position gradient matches FD; without the family
+    (mirror_sphere_ids=[]) it is mostly missing."""
+    def rig():
+        b = SceneBuilder()
+        b.sphere((0.0, 0.0, -1.3), 0.8, b.metal((0.9, 0.9, 0.95), 0.0))
+        gray = b.lambertian(b.solid((0.75, 0.3, 0.1)))
+        b.rect(0, 0.0, 0.8, -0.4, 0.4, 1.5, gray)  # XY at z=+1.5 (behind)
+        cam = CameraConfig((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), 90.0, 0.0,
+                           focus_dist=1.0)
+        return b.finalize(cam, SKY, "rect-curved-mirror")
+
+    scene = rig()
+    prim = int(rect_ids_of(scene)[0])
+
+    def run(ms_ids):
+        image_fn = _setup_shift_prim(rig(), 48, prim,
+                                     mirror_sphere_ids=ms_ids)
+        target = jax.lax.stop_gradient(image_fn(jnp.float32(0.2)))
+
+        def loss(dx):
+            return ((image_fn(dx) - target) ** 2).mean()
+
+        f = jax.jit(loss)
+        g = float(jax.jit(jax.grad(loss))(jnp.float32(0.0)))
+        eps = 0.04
+        fd = (float(f(jnp.float32(eps)))
+              - float(f(jnp.float32(-eps)))) / (2 * eps)
+        return g, fd
+
+    g_off, fd = run(np.zeros(0, np.int32))
+    g_on, fd_on = run(None)
+    assert abs(fd) > 1e-4, f"FD degenerate: {fd}"
+    assert abs(g_off - fd) > 0.5 * abs(fd), (g_off, fd)
+    print(f"rect-in-curved-mirror: grad {g_on:.5f} vs fd {fd_on:.5f} "
+          f"(off: {g_off:.5f})")
+    np.testing.assert_allclose(g_on, fd_on, rtol=0.35)
