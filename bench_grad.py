@@ -48,6 +48,9 @@ def main() -> int:
     # it is the fastest measured training forward and the one inference
     # uses.  --no-partition falls back to the fixed-depth scan (or
     # --compact's plain scheduled descent).
+    ap.add_argument("--partition", action="store_true",
+                    help="deprecated no-op: the partitioned descent is "
+                         "the default since round 3")
     ap.add_argument("--no-partition", dest="partition",
                     action="store_false", default=True,
                     help="disable the partitioned compacted descent "

@@ -109,6 +109,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.scene import PT_BOX, PT_RECT, PT_SPHERE
+from ..render import deprecate_use_bvh
 from . import rng as prng
 from .math import sqrt_capped_grad
 
@@ -478,6 +479,7 @@ def _box_silhouette_mask(geom, ids, corners, origin):
     return (d1 * d2) < 0.0
 
 
+@deprecate_use_bvh
 def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                                sphere_ids=None, rect_ids=None,
                                box_ids=None, mirror_ids=None,

@@ -31,12 +31,12 @@ from jax.sharding import PartitionSpec as P
 
 from ..render import (
     compact_wavefront,
+    deprecate_use_bvh,
     compact_wavefront_part,
     compact_wavefront_sorted,
     flush_wavefront,
     flush_wavefront_drop,
     make_ray_colorer,
-    resolve_intersector,
     schedule_from_cat_counts,
     schedule_from_counts,
     schedule_groups,
@@ -56,6 +56,7 @@ def _ids_for_block(W, H, sample0, n_samples):
     return pixel_ids, sample_ids
 
 
+@deprecate_use_bvh
 def make_pjit_renderer(scene, W, H, depth, mesh, intersector, leaf_size=4,
                        differentiable=False):
     """GSPMD path: returns render(arrays, bvh, basis, sample0, seed) ->
@@ -87,6 +88,7 @@ def make_pjit_renderer(scene, W, H, depth, mesh, intersector, leaf_size=4,
     return run
 
 
+@deprecate_use_bvh
 def make_shardmap_renderer(scene, W, H, depth, mesh, intersector, leaf_size=4,
                            differentiable=False):
     """Explicit shard_map path with spp-axis psum.
@@ -116,6 +118,7 @@ def make_shardmap_renderer(scene, W, H, depth, mesh, intersector, leaf_size=4,
     return jax.jit(render_block)
 
 
+@deprecate_use_bvh
 def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
                                      leaf_size=4, partition_sweep=True):
     """Dead-ray compaction inside ``shard_map``: the multi-chip version of
@@ -161,12 +164,10 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
     # into the SPMD chain unchanged — same bit-identity contract as the
     # single-chip path (render.compact_wavefront_sorted).
     _key_fn = None
-    if resolve_intersector(scene, intersector) == "cluster":
-        from ..models.clusters import build_clusters
+    _layout = colorer.cluster_layout
+    if _layout is not None and _layout.runs:
         from ..ops.cluster_sweep import make_coherence_key
 
-        _, _layout = build_clusters(scene.arrays.geom,
-                                    scene.static.n_prims)
         _key_fn = make_coherence_key(_layout)
 
     def _compact_plain(state, slots, acc, bucket):

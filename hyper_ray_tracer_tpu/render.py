@@ -285,6 +285,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         # only the layout metadata drives tracing).
         _, layout = build_clusters(scene.arrays.geom, static.n_prims)
         cluster_trace = make_cluster_intersector(static, layout)
+        cluster_layout = layout
 
         def trace(geom, bvh, o, d, time, t_min, ray_bits, active,
                   rows=None):
@@ -510,6 +511,11 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     ray_color.bounce_scan_counted_cats = bounce_scan_counted_cats
     ray_color.cat_counts = _cat_counts
     ray_color.part_groups = part_groups
+    # Cluster-mode layout (None otherwise): lets the compacting renderers
+    # derive the coherence-key bounds without re-running the host-side
+    # median-split build (review finding r3).
+    ray_color.cluster_layout = (cluster_layout if mode == "cluster"
+                                else None)
     return ray_color
 
 
@@ -1055,16 +1061,17 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     mode = resolve_intersector(scene, intersector)
     if coherence_sort is None:
         coherence_sort = mode == "cluster"
-    if coherence_sort and mode == "cluster":
+    # A degenerate "cluster" scene (no >=CLUSTER_MIN_RUN type run) has no
+    # cluster bounds to key on — the sweep-equivalent tail needs no sort.
+    _layout = colorer.cluster_layout
+    if coherence_sort and mode == "cluster" and _layout is not None \
+            and _layout.runs:
         # Cluster tiles need coherent lanes; order survivors by origin
         # cell x direction octant at each milestone (pure permutation —
         # still bit-identical; measured on the sphereflake in
         # tools/prof_coherence.py).
-        from .models.clusters import build_clusters
         from .ops.cluster_sweep import make_coherence_key
 
-        _, _layout = build_clusters(scene.arrays.geom,
-                                    scene.static.n_prims)
         _key_fn = make_coherence_key(_layout)
         compact_jit = jax.jit(
             lambda st, sl, acc, b: compact_wavefront_sorted(

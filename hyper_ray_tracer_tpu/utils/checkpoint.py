@@ -3,9 +3,12 @@
 The reference restarts the whole render on every resize and cannot resume
 anything (`/root/reference/src/application.rs:357-391`; SURVEY.md §5).  Here
 samples accumulate in chunks, and the running (radiance-sum, samples-done)
-state is persisted after every chunk, so long renders survive preemption and
-can be resumed exactly (the counter-based RNG makes the continuation
-bit-identical to an uninterrupted run).
+state is persisted at the snapshot cadence (RenderSettings.snapshot_every;
+auto = every chunk with a preview, every 8 chunks otherwise — a pure
+durability knob: the on-device f32 accumulation chain makes the values
+independent of WHEN snapshots are taken), so long renders survive
+preemption and resume bit-identically to an uninterrupted run
+(counter-based RNG + schedule replay from the checkpoint meta).
 """
 
 from __future__ import annotations

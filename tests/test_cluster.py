@@ -100,9 +100,12 @@ def test_cluster_equals_sweep(name, s):
 
 def test_cluster_forced_on_small_scene():
     """Forcing cluster mode on an all-tail scene degenerates to the sweep
-    (no runs) and must still render correctly."""
+    (no runs) and must still render correctly — INCLUDING with
+    compaction engaged (depth >= 6), where the coherence sort must
+    no-op instead of keying on nonexistent cluster bounds (review
+    finding r3)."""
     scene = build_scene("cornell")
-    s = dict(width=20, height=12, samples=1, depth=4)
+    s = dict(width=20, height=12, samples=1, depth=6)
     img_sweep = render_image(scene, RenderSettings(**s, intersector="sweep"))
     img_clus = render_image(scene, RenderSettings(**s, intersector="cluster"))
     np.testing.assert_allclose(img_clus, img_sweep, atol=1e-5, rtol=0)
