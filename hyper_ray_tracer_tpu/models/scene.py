@@ -302,9 +302,9 @@ class SceneBuilder:
         """Bulk static spheres (identity transform): one call for K
         primitives.  ``centers`` [K,3]; ``radii`` scalar or [K];
         ``material`` scalar or [K] material ids.  Semantically identical
-        to K ``sphere()`` calls in order; exists because the per-call
-        Python overhead dominates 100k+-primitive procedural scenes
-        (sphereflake depth 6: 30 s of appends -> ~0.2 s)."""
+        to K ``sphere()`` calls in order, without the per-call transform
+        bake; together with the vectorised finalize (sort key / AABBs /
+        flags) a 598k-sphere build takes ~8 s instead of ~30 s."""
         centers = np.asarray(centers, np.float32).reshape(-1, 3)
         K = centers.shape[0]
         radii = np.broadcast_to(np.asarray(radii, np.float32), (K,))
@@ -479,21 +479,43 @@ class SceneBuilder:
         # completely (ops/bvh.py:_tile_plan).  List order has no other
         # semantics in the reference (list.rs scans whatever order the
         # builder produced).
+        # Vectorised sort key (the per-prim np.array_equal lambda cost
+        # ~7 s alone at 598k primitives): exact identity test, matching
+        # the original semantics bit for bit.
         eye3 = np.eye(3, dtype=np.float32)
-        self._prims.sort(key=lambda p: (
-            p["ptype"],
-            int(not np.array_equal(p["rot"], eye3)
-                or np.any(p["trans"] != 0)),
-            p["axis"],
-        ))
-        aabbs = [self._prim_aabb(p) for p in self._prims]
+        rots_a = np.stack([p["rot"] for p in self._prims])
+        trans_a = np.stack([p["trans"] for p in self._prims])
+        xf = ((rots_a != eye3).any((1, 2)) | (trans_a != 0.0).any(1))
+        keys = [(p["ptype"], int(xf[i]), p["axis"])
+                for i, p in enumerate(self._prims)]
+        order = sorted(range(n), key=keys.__getitem__)  # stable, like sort
+        self._prims = [self._prims[i] for i in order]
+
+        # AABBs: vectorised fast path for sphere-like prims (the bulk of
+        # procedural scenes), per-prim fallback for rects/boxes.
+        pt_a = np.array([p["ptype"] for p in self._prims], np.int32)
+        sph = (pt_a == PT_SPHERE) | (pt_a == PT_MEDIUM_SPHERE)
+        if sph.any():
+            p0_a = np.stack([p["p0"] for p in self._prims]).astype(
+                np.float32)
+            p1_a = np.stack([p["p1"] for p in self._prims]).astype(
+                np.float32)
+            r_a = np.abs(np.array([p["radius"] for p in self._prims],
+                                  np.float32))[:, None]
+            mn_a = np.minimum(p0_a, p1_a) - r_a
+            mx_a = np.maximum(p0_a, p1_a) + r_a
+        aabbs = [
+            (mn_a[i], mx_a[i]) if sph[i] else self._prim_aabb(p)
+            for i, p in enumerate(self._prims)
+        ]
 
         n_pad = -(-n // pad_to_multiple) * pad_to_multiple
 
         def field(key, shape, dtype, pad_value):
             out = np.full((n_pad, *shape), pad_value, dtype)
-            for i, p in enumerate(self._prims):
-                out[i] = p[key]
+            vals = [p[key] for p in self._prims]
+            out[:n] = (np.asarray(vals, dtype) if not shape
+                       else np.stack(vals).astype(dtype))
             return out
 
         geom = GeometrySoA(
@@ -559,23 +581,24 @@ class SceneBuilder:
             images=images, image_wh=image_wh,
         )
 
-        eye = np.eye(3, dtype=np.float32)
+        # Flags from the already-built SoA arrays (the per-prim allclose
+        # genexprs cost ~25 s at 598k prims); [:n] excludes pad rows
+        # (whose zero rot would read as a transform).  Same semantics:
+        # np.allclose(a, b) == np.isclose(a, b).all().
+        g_, n_ = geom, n
         static = SceneStatic(
             n_prims=n,
             n_prims_padded=n_pad,
-            has_ray_xform=any(
-                not np.allclose(p["rot"], eye) or np.any(p["trans"] != 0.0)
-                for p in self._prims
-            ),
-            has_media=any(
-                p["ptype"] in (PT_MEDIUM_SPHERE, PT_MEDIUM_BOX)
-                for p in self._prims
-            ),
-            has_boxes=any(p["ptype"] == PT_BOX for p in self._prims),
-            has_motion=any(
-                p["ptype"] == PT_SPHERE and np.any(p["p0"] != p["p1"])
-                for p in self._prims
-            ),
+            has_ray_xform=bool(
+                np.any(~np.isclose(g_.rot[:n_],
+                                   np.eye(3, dtype=np.float32)).all((1, 2)))
+                or np.any(g_.trans[:n_] != 0.0)),
+            has_media=bool(np.isin(
+                g_.ptype[:n_], (PT_MEDIUM_SPHERE, PT_MEDIUM_BOX)).any()),
+            has_boxes=bool((g_.ptype[:n_] == PT_BOX).any()),
+            has_motion=bool(np.any(
+                (g_.ptype[:n_] == PT_SPHERE)
+                & (g_.p0[:n_] != g_.p1[:n_]).any(1))),
             has_noise_tex=any(t["ttype"] == TT_NOISE for t in self._texs),
             has_image_tex=any(t["ttype"] == TT_IMAGE for t in self._texs),
             has_checker_tex=any(t["ttype"] == TT_CHECKER for t in self._texs),
