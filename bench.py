@@ -30,9 +30,9 @@ W, H, SPP, DEPTH = 400, 225, 16, 10
 SCENE = "final"
 
 
-def _fwd_bwd_extra(reps: int = 3) -> dict:
-    """Measure the fwd+bwd secondary metric (bench_grad.py defaults:
-    final scene, 400x225x8 = 720k rays, depth 8, partitioned descent)."""
+def _fwd_bwd_one(depth: int, remat: bool, reps: int = 3) -> float:
+    """Camera Mrays/s through one full adam train step (bench_grad.py
+    config: final scene, 400x225x8 = 720k rays, partitioned descent)."""
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +44,7 @@ def _fwd_bwd_extra(reps: int = 3) -> dict:
         measure_partition_schedule,
     )
 
-    Wg, Hg, SPPg, depth = 400, 225, 8, 8
+    Wg, Hg, SPPg = 400, 225, 8
     scene = build_scene(SCENE)
     arrays, bvh, mode = prepare_scene(scene)
     basis = make_basis(scene.camera, Wg, Hg)
@@ -56,7 +56,7 @@ def _fwd_bwd_extra(reps: int = 3) -> dict:
     target = jnp.zeros((Wg * Hg, 3), jnp.float32)
     psched = measure_partition_schedule(scene, Wg, Hg, depth, mode,
                                         arrays, bvh, basis, pix, sam)
-    init, step = make_train_step(scene, Wg, Hg, depth, mode,
+    init, step = make_train_step(scene, Wg, Hg, depth, mode, remat=remat,
                                  partition_sched=psched)
     state = init(arrays)
     step_jit = jax.jit(step)
@@ -70,8 +70,23 @@ def _fwd_bwd_extra(reps: int = 3) -> dict:
                            np.uint32(0), target)
         np.asarray(loss)
         best = min(best, time.perf_counter() - t0)
-    return {"fwd_bwd_camera_mrays_per_s_depth8": round(
-        Wg * Hg * SPPg / best / 1e6, 3)}
+    return round(Wg * Hg * SPPg / best / 1e6, 3)
+
+
+def _fwd_bwd_extra() -> dict:
+    """Both BASELINE fwd+bwd headlines: depth 8 (throughput sweet spot)
+    and depth 50 with per-bounce remat (config 5's transport depth —
+    VERDICT r3 task 8: driver-captured, not only BASELINE.md-reported)."""
+    extra = {}
+    for key, depth, remat in (
+        ("fwd_bwd_camera_mrays_per_s_depth8", 8, False),
+        ("fwd_bwd_camera_mrays_per_s_depth50_remat", 50, True),
+    ):
+        try:
+            extra[key] = _fwd_bwd_one(depth, remat=remat)
+        except Exception as e:  # pragma: no cover - defensive, per-row
+            print(f"# fwd+bwd row {key} skipped: {e!r}", file=sys.stderr)
+    return extra
 
 
 def main() -> int:
