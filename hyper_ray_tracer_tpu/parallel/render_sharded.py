@@ -30,12 +30,11 @@ from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..render import (
+    assemble_radiance,
     compact_wavefront,
     deprecate_use_bvh,
     compact_wavefront_part,
     compact_wavefront_sorted,
-    flush_wavefront,
-    flush_wavefront_drop,
     make_ray_colorer,
     schedule_from_cat_counts,
     schedule_from_counts,
@@ -170,11 +169,11 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
 
         _key_fn = make_coherence_key(_layout)
 
-    def _compact_plain(state, slots, acc, bucket):
+    def _compact_plain(state, slots, bucket):
         if _key_fn is not None:
             return compact_wavefront_sorted(
-                state, slots, acc, bucket, _key_fn(state.o, state.d))
-        return compact_wavefront(state, slots, acc, bucket)
+                state, slots, bucket, _key_fn(state.o, state.d))
+        return compact_wavefront(state, slots, bucket)
 
     @partial(
         jax.shard_map,
@@ -228,9 +227,9 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
             n0_loc = s_loc * n_loc
             state = colorer.init_state(basis, pixel_ids.reshape(-1),
                                        sample_ids.reshape(-1), seed)
-            acc = state.radiance * 0.0  # device-varying zeros [n0_loc, 3]
             slots = jnp.arange(n0_loc, dtype=jnp.int32)
             over = state.alive[0] & ~state.alive[0]  # device-varying False
+            drops = []
             # schedule_groups merges no-shrink bounce runs into single
             # rolled scans, so the block's graph holds O(#shrinks) bounce
             # bodies, not O(depth).
@@ -238,10 +237,11 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
                 state = colorer.bounce_scan(arrays, bvh, state,
                                             jnp.uint32(b0), b1 - b0)
                 if bucket is not None:
-                    state, slots, acc, o = _compact_plain(
-                        state, slots, acc, bucket)
+                    state, slots, drop, o = _compact_plain(
+                        state, slots, bucket)
+                    drops.append(drop)
                     over = over | o
-            acc = flush_wavefront(acc, slots, state)
+            acc = assemble_radiance(n0_loc, drops, state, slots)
             rad = acc.reshape(s_loc, n_loc, 3).sum(0)
             rad = jax.lax.psum(rad, AXIS_SPP)
             over = jax.lax.pmax(over.astype(jnp.int32),
@@ -261,11 +261,11 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
 
         all_dyn = all(g.dynamic_ok for g in part_groups)
 
-        def _compact(state, slots, acc, geom, buckets, dropb):
+        def _compact(state, slots, geom, buckets, dropb, hb):
             gs = part_groups if len(buckets) > 1 else ()
             return compact_wavefront_part(
-                state, slots, acc, buckets, dropb, gs,
-                geom=geom if (gs and all_dyn) else None)
+                state, slots, buckets, dropb, gs,
+                geom=geom if (gs and all_dyn) else None, hole_base=hb)
 
         @partial(
             jax.shard_map,
@@ -279,14 +279,17 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
             n0_loc = s_loc * n_loc
             state = colorer.init_state(basis, pixel_ids.reshape(-1),
                                        sample_ids.reshape(-1), seed)
-            acc = state.radiance * 0.0
             slots = jnp.arange(n0_loc, dtype=jnp.int32)
             over = state.alive[0] & ~state.alive[0]  # device-varying False
             rows = None
+            drops = []
+            hole_base = n0_loc
             if pre is not None:
-                state, slots, acc, o = _compact(state, slots, acc,
-                                                arrays.geom, pre[0],
-                                                pre[1])
+                state, slots, drop, o = _compact(state, slots,
+                                                 arrays.geom, pre[0],
+                                                 pre[1], hole_base)
+                drops.append(drop)
+                hole_base += sum(pre[0]) + pre[1]
                 over = over | o
                 rows = _partition.group_rows(part_groups, pre[0])
             for b0, nb, entry in schedule_segments(entries, depth):
@@ -298,13 +301,15 @@ def make_sharded_compacting_renderer(scene, W, H, depth, mesh, intersector,
                         arrays, bvh, state, jnp.uint32(b0), nb)
                 if entry is not None:
                     buckets, dropb = entry
-                    state, slots, acc, o = _compact(state, slots, acc,
-                                                    arrays.geom, buckets,
-                                                    dropb)
+                    state, slots, drop, o = _compact(state, slots,
+                                                     arrays.geom, buckets,
+                                                     dropb, hole_base)
+                    drops.append(drop)
+                    hole_base += sum(buckets) + dropb
                     over = over | o
                     rows = (_partition.group_rows(part_groups, buckets)
                             if len(buckets) > 1 else None)
-            acc = flush_wavefront_drop(acc, slots, state)
+            acc = assemble_radiance(n0_loc, drops, state, slots)
             rad = acc.reshape(s_loc, n_loc, 3).sum(0)
             rad = jax.lax.psum(rad, AXIS_SPP)
             over = jax.lax.pmax(over.astype(jnp.int32),

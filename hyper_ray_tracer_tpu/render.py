@@ -581,21 +581,62 @@ def flush_wavefront(acc, slots, state):
     """Scatter the wavefront's pending radiance into the full-size
     accumulator.  Slots are globally unique (each launch lane owns one),
     so the scatter declares unique_indices — XLA's TPU scatter emits the
-    collision-free fast path instead of serialising updates."""
+    collision-free fast path instead of serialising updates.
+
+    Since round 4 the scheduled descents no longer flush mid-pass at all
+    (see ``assemble_radiance``); this helper remains as the reference
+    semantics the drop-log scheme must reproduce (and the tests use it to
+    build expected values)."""
     return acc.at[slots].add(state.radiance, unique_indices=True)
 
-def compact_wavefront(state, slots, acc, bucket):
-    """Pack alive lanes first (stable), keep the first ``bucket``, and
-    flush the radiance of the DROPPED tail into ``acc``.
 
-    Radiance rides the compaction row gather (3 extra columns), so a
-    lane's radiance is scattered into the accumulator exactly once —
-    when the lane is dropped (or at the final flush).  Scatter-add is
-    the expensive primitive on this device (~90 ns/row measured); the
-    previous flush-everything-then-compact scheme scattered 2.5x the
-    rows per pass.  Per-ray accumulation order is unchanged (each
-    lane's radiance accumulates in bounce order and lands in its own
-    unique slot), so images stay bit-identical to the fixed scan.
+def assemble_radiance(n0: int, drops, state, slots):
+    """Resolve a pass's drop log into the per-slot radiance [n0, 3].
+
+    ``drops``: sequence of (radiance [k,3], slot [k] int32) buffers — one
+    per compaction milestone — plus the final wavefront (``state``,
+    ``slots``).  Invariant (the whole design rests on it): every real
+    slot appears EXACTLY ONCE across the log — a lane's radiance leaves
+    the wavefront only when the lane is dropped, and lanes that are never
+    dropped reach the final flush.  Hole/padding lanes carry synthetic
+    slots >= n0 that the ``mode="drop"`` scatter discards (globally
+    distinct — see compact_wavefront_part's ``hole_base``).
+
+    Why this exists (measured on TPU v5e, tools/prof_compact2.py at the
+    bench shape): scatter-ADDing each milestone's dropped radiance into a
+    carried [n0, 3] accumulator cost ~150 ns/row + a ~20 ms accumulator
+    copy per milestone (~170 ms of the 560 ms flagship pass).  Logging
+    the dropped rows compactly (a ~10 ns/row gather that rides the
+    compaction permutation already being paid) and resolving ONCE at pass
+    end — one int32 pointer scatter (~12 ns/row) + one 3-column row
+    gather — moves the same bytes for a fraction of the descriptors.
+    Values are bit-identical: the same f32 rows land in the same slots,
+    each written exactly once, so no addition order exists to change.
+    """
+    rads = [r for r, _ in drops] + [state.radiance]
+    slts = [s for _, s in drops] + [slots]
+    # Row 0 is a zero sentinel: slots no log row ever claimed (possible
+    # only for launch layouts that do not cover [0, n0), e.g. synthetic
+    # tests) resolve to zero radiance instead of aliasing a real row.
+    rad = jnp.concatenate([jnp.zeros((1, 3), rads[0].dtype)] + rads, 0)
+    slt = jnp.concatenate(slts, 0) if len(slts) > 1 else slts[0]
+    ptr = (
+        jnp.zeros(n0, jnp.int32)
+        .at[slt]
+        .set(1 + jnp.arange(slt.shape[0], dtype=jnp.int32), mode="drop",
+             unique_indices=True)
+    )
+    return rad[ptr]
+
+
+def compact_wavefront(state, slots, bucket):
+    """Pack alive lanes first (stable), keep the first ``bucket``, and
+    emit the DROPPED tail as a compact (radiance, slot) drop-log entry
+    for ``assemble_radiance`` (one end-of-pass resolve replaces the
+    per-milestone scatter-add — see assemble_radiance's cost notes).
+    Per-ray accumulation order is unchanged (each lane's radiance
+    accumulates in bounce order and lands in its own unique slot), so
+    images stay bit-identical to the fixed scan.
 
     The stable partition is a cumsum + one int32 scatter, not an
     argsort (the scatter form measured ~10x cheaper at 1.44M lanes and
@@ -618,13 +659,14 @@ def compact_wavefront(state, slots, acc, bucket):
         .at[dest]
         .set(iota, mode="drop", unique_indices=True)
     )
-    return _compact_finish(state, slots, acc, idx_full, bucket, n_alive_i)
+    return _compact_finish(state, slots, idx_full, bucket, n_alive_i)
 
 
-def _compact_finish(state, slots, acc, idx_full, bucket, n_alive):
+def _compact_finish(state, slots, idx_full, bucket, n_alive):
     """Shared tail of the alive-first compactions: gather the first
-    ``bucket`` lanes of the permutation ``idx_full``, flush the dropped
-    tail's radiance, report overflow (live lanes past the bucket).
+    ``bucket`` lanes of the permutation ``idx_full``, gather the dropped
+    tail's (radiance, slot) rows as the drop-log entry, report overflow
+    (live lanes past the bucket).
 
     Row gathers over packed live fields (12 scalar gathers cost
     ~156 ms at 1.44M lanes; two row gathers ~20 ms — see
@@ -647,10 +689,9 @@ def _compact_finish(state, slots, acc, idx_full, bucket, n_alive):
         [jax.lax.bitcast_convert_type(state.base, jnp.int32), slots],
         axis=-1,
     )[idx]
-    # Dropped slots are unique (disjoint per compaction, one flush per
-    # lane per pass) — same fast-path declaration as flush_wavefront.
-    acc = acc.at[slots[idx_drop]].add(state.radiance[idx_drop],
-                                      unique_indices=True)
+    # Dropped rows leave as a compact log entry; the tail is all real
+    # lanes (idx_full is a permutation of n), each slot globally unique.
+    drop = (state.radiance[idx_drop], slots[idx_drop])
     g = WavefrontState(
         o=fpk[:, 0:3],
         d=fpk[:, 3:6],
@@ -660,10 +701,10 @@ def _compact_finish(state, slots, acc, idx_full, bucket, n_alive):
         throughput=fpk[:, 7:10],
         radiance=fpk[:, 10:13],
     )
-    return g, ipk[:, 1], acc, overflow
+    return g, ipk[:, 1], drop, overflow
 
 
-def compact_wavefront_sorted(state, slots, acc, bucket, key):
+def compact_wavefront_sorted(state, slots, bucket, key):
     """``compact_wavefront`` that additionally orders the surviving lanes
     by the uint32 coherence ``key`` (cluster_sweep.make_coherence_key):
     one stable argsort replaces the cumsum partition — measured ~2 ms at
@@ -675,20 +716,22 @@ def compact_wavefront_sorted(state, slots, acc, bucket, key):
     k = jnp.where(state.alive, jnp.minimum(key, kmax - 1), kmax)
     idx_full = jnp.argsort(k).astype(jnp.int32)  # stable: dead keep order
     n_alive = state.alive.sum(dtype=jnp.int32)
-    return _compact_finish(state, slots, acc, idx_full, bucket, n_alive)
+    return _compact_finish(state, slots, idx_full, bucket, n_alive)
 
 
 def flush_wavefront_drop(acc, slots, state):
     """flush_wavefront for partitioned wavefronts: hole lanes carry
     synthetic out-of-range slots (compact_wavefront_part), which
     mode="drop" discards; real slots stay unique, so the collision-free
-    declaration remains honest."""
+    declaration remains honest.  Like flush_wavefront, kept as the
+    reference semantics for tests; the scheduled descents resolve the
+    drop log once per pass instead (assemble_radiance)."""
     return acc.at[slots].add(state.radiance, mode="drop",
                              unique_indices=True)
 
 
-def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
-                           groups, geom=None):
+def compact_wavefront_part(state, slots, buckets, drop_bucket,
+                           groups, geom=None, hole_base=1 << 30):
     """Partitioned compaction: alive lanes ordered by group-overlap
     category, each category padded to its static bucket.
 
@@ -696,14 +739,19 @@ def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
     order at static offsets ``cumsum(buckets)``; group 0's lanes form the
     prefix, so the next bounce's partitioned sweep folds each group's
     tiles over static lane ranges only (group_rows).  Dead lanes are
-    packed into a static ``drop_bucket`` region and their pending
-    radiance flushed — the same drop-only flush discipline as
-    compact_wavefront.
+    packed into a static ``drop_bucket`` region and emitted as a compact
+    (radiance, slot) drop-log entry — assemble_radiance resolves the
+    whole pass's log once at the end (same discipline as
+    compact_wavefront).
 
     Bucket *padding* creates hole lanes: they replicate lane 0's ray
     fields but carry alive=False, zero radiance, and a synthetic
-    out-of-range slot (n0 + position), so no scatter ever applies them
-    (mode="drop") and slot uniqueness holds for the fast-path scatters.
+    out-of-range slot, so no scatter ever applies them (mode="drop").
+    ``hole_base`` (static) is the first synthetic slot id this milestone
+    may use — callers thread a strictly increasing base (>= n0, advanced
+    by ``sum(buckets) + drop_bucket`` per milestone) so synthetic slots
+    stay globally distinct across the pass and the assemble scatter's
+    unique_indices declaration remains honest.
 
     ``overflow`` is True when any ALIVE lane exceeded its category bucket
     or the dead lanes exceeded ``drop_bucket`` — in either case radiance
@@ -726,7 +774,6 @@ def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
     so it carries no gradient and leaves no backward residuals.
     """
     n = state.alive.shape[0]
-    n0 = acc.shape[0]
     C = len(buckets)
     offs = np.concatenate([[0], np.cumsum(buckets)]).astype(np.int64)
     b_total = int(offs[-1])
@@ -797,19 +844,21 @@ def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
         axis=-1,
     )[idx]
 
-    # Drop-region flush.  Hole rows (beyond the actual drop count) gather
-    # lane 0; remap their slot to a unique out-of-range value so the
-    # scatter drops them without breaking the uniqueness promise.
+    # Drop-region log entry.  Hole rows (beyond the actual drop count)
+    # gather lane 0; remap their slot to a distinct out-of-range value so
+    # the assemble scatter drops them without breaking the uniqueness
+    # promise (their logged radiance row exists but is never pointed at).
     valid_drop = jnp.arange(drop_bucket, dtype=jnp.int32) \
         < jnp.minimum(n_drop, drop_bucket)
-    drop_slot = jnp.where(valid_drop, slots[idx_drop],
-                          n0 + n + jnp.arange(drop_bucket, dtype=jnp.int32))
-    acc = acc.at[drop_slot].add(state.radiance[idx_drop], mode="drop",
-                                unique_indices=True)
+    drop_slot = jnp.where(
+        valid_drop, slots[idx_drop],
+        np.int32(hole_base + b_total)
+        + jnp.arange(drop_bucket, dtype=jnp.int32))
+    drop = (state.radiance[idx_drop], drop_slot)
 
     new_slots = jnp.where(
         valid, ipk[:, 1],
-        n0 + jnp.arange(b_total, dtype=jnp.int32))
+        np.int32(hole_base) + jnp.arange(b_total, dtype=jnp.int32))
     g = WavefrontState(
         o=fpk[:, 0:3],
         d=fpk[:, 3:6],
@@ -819,7 +868,7 @@ def compact_wavefront_part(state, slots, acc, buckets, drop_bucket,
         throughput=fpk[:, 7:10],
         radiance=jnp.where(valid[:, None], fpk[:, 10:13], 0.0),
     )
-    return g, new_slots, acc, overflow
+    return g, new_slots, drop, overflow
 
 
 def schedule_groups(sched, depth: int):
@@ -1057,7 +1106,6 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
                                bf16_hits=bf16_hits)
     scan_jit = jax.jit(colorer.bounce_scan, static_argnums=(4,))
 
-    flush_jit = jax.jit(flush_wavefront)
     mode = resolve_intersector(scene, intersector)
     if coherence_sort is None:
         coherence_sort = mode == "cluster"
@@ -1074,11 +1122,11 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
 
         _key_fn = make_coherence_key(_layout)
         compact_jit = jax.jit(
-            lambda st, sl, acc, b: compact_wavefront_sorted(
-                st, sl, acc, b, _key_fn(st.o, st.d)),
-            static_argnums=(3,))
+            lambda st, sl, b: compact_wavefront_sorted(
+                st, sl, b, _key_fn(st.o, st.d)),
+            static_argnums=(2,))
     else:
-        compact_jit = jax.jit(compact_wavefront, static_argnums=(3,))
+        compact_jit = jax.jit(compact_wavefront, static_argnums=(2,))
     counted_jit = jax.jit(colorer.bounce_scan_counted, static_argnums=(4,))
 
     # Partitioned-sweep machinery (ops/partition.py): active when the
@@ -1089,16 +1137,25 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     use_part = len(part_groups) > 0 and partition_sweep
     _all_dyn = use_part and all(g.dynamic_ok for g in part_groups)
 
-    def _compact_part(state, slots, acc, geom, buckets, drop_bucket):
+    def _compact_part(state, slots, geom, buckets, drop_bucket,
+                      hole_base):
         gs = part_groups if len(buckets) > 1 else ()
         return compact_wavefront_part(
-            state, slots, acc, buckets, drop_bucket, gs,
-            geom=geom if (gs and _all_dyn) else None)
+            state, slots, buckets, drop_bucket, gs,
+            geom=geom if (gs and _all_dyn) else None,
+            hole_base=hole_base)
 
-    compact_part_jit = jax.jit(_compact_part, static_argnums=(4, 5))
+    compact_part_jit = jax.jit(_compact_part, static_argnums=(3, 4, 5))
     scanrows_jit = jax.jit(colorer.bounce_scan_rows,
                            static_argnums=(4, 5))
-    flush_drop_jit = jax.jit(flush_wavefront_drop)
+    # End-of-pass drop-log resolve + on-device sample reduction (one jit
+    # per schedule shape).  reduce=False callers get the raw [n0, 3]
+    # per-slot radiance, exactly what the old carried accumulator held.
+    def _finish(state, slots, drops, n0, ns, red):
+        acc = assemble_radiance(n0, drops, state, slots)
+        return acc.reshape(ns, -1, 3).sum(0) if red else acc
+
+    finish_jit = jax.jit(_finish, static_argnums=(3, 4, 5))
 
     def _counted_cats(arrays, bvh, state):
         pre = colorer.cat_counts(state, geom=arrays.geom)
@@ -1131,59 +1188,70 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
     # sharded renderer needs (identical static shapes on every device).
     schedules: dict = {}
 
-    def _run_counted(arrays, bvh, state, acc, slots, n0):
+    def _run_counted(arrays, bvh, state, n0):
         """Probe path: one full-shape (uncompacted) pass that emits the
         whole per-bounce survival curve, read back in a single sync.  Its
         render is valid (identical to the fixed scan); the curve becomes
-        the per-bounce bucket schedule every later pass runs sync-free."""
+        the per-bounce bucket schedule every later pass runs sync-free.
+        With no compaction the launch slots are the identity, so the
+        final wavefront's radiance IS the per-slot accumulator — no
+        flush scatter at all."""
         if use_part and n0 >= partition.PART_MIN_LANES:
             # Below the lane floor the schedule could never emit a
             # partitioned milestone — skip the per-category probe and the
             # drop-region compaction form entirely (small/preview renders
             # of group scenes keep the cheap exact path).
             state, pre, counts = counted_cats_jit(arrays, bvh, state)
-            acc = flush_jit(acc, slots, state)
             sched = schedule_from_cat_counts(
                 np.asarray(pre), np.asarray(counts)[:-1], n0, part_groups,
                 scene.static.n_prims)
-            return acc, sched
+            return state.radiance, sched
         state, counts = counted_jit(arrays, bvh, state, jnp.uint32(0),
                                     depth)
-        acc = flush_jit(acc, slots, state)
         sched = schedule_from_counts(np.asarray(counts)[:-1], n0)
-        return acc, sched
+        return state.radiance, sched
 
-    def _run_scheduled(arrays, bvh, state, acc, slots, sched):
+    def _run_scheduled(arrays, bvh, state, slots, n0, ns, reduce, sched):
         """Sync-free path: every dispatch is enqueued back-to-back; the
         device-side ``over`` flag records whether any bounce's alive
-        count exceeded its scheduled bucket."""
+        count exceeded its scheduled bucket.  Dropped radiance leaves
+        each milestone as a compact log entry; ONE end-of-pass resolve
+        (assemble_radiance) replaces every mid-pass flush scatter."""
         if isinstance(sched, tuple) and len(sched) == 2 \
                 and isinstance(sched[1], (list, tuple)):
             # (pre, entries) form recorded by the partitioned probe.
-            return _run_scheduled_part(arrays, bvh, state, acc, slots,
-                                       sched)
+            return _run_scheduled_part(arrays, bvh, state, slots, n0, ns,
+                                       reduce, sched)
         over = None
+        drops = []
         for b0, b1, bucket in schedule_groups(sched, depth):
             state = scan_jit(arrays, bvh, state, jnp.uint32(b0), b1 - b0)
             if bucket is not None:
-                state, slots, acc, o = compact_jit(state, slots, acc,
-                                                   bucket)
+                state, slots, drop, o = compact_jit(state, slots, bucket)
+                drops.append(drop)
                 over = o if over is None else (over | o)
-        acc = flush_jit(acc, slots, state)
-        return acc, over
+        out = finish_jit(state, slots, tuple(drops), n0, ns, reduce)
+        return out, over
 
-    def _run_scheduled_part(arrays, bvh, state, acc, slots, psched):
+    def _run_scheduled_part(arrays, bvh, state, slots, n0, ns, reduce,
+                            psched):
         """Partitioned scheduled descent: the compaction permutation also
         orders alive lanes by group-AABB overlap, and the first bounce of
         every following segment sweeps each group's tiles over static lane
         ranges only (bounce_scan_rows).  Still one sync-free dispatch
-        chain; overflow covers category AND drop-region overruns."""
+        chain; overflow covers category AND drop-region overruns.
+        ``hole_base`` advances per milestone so synthetic padding slots
+        stay globally distinct in the pass's drop log."""
         pre, entries = psched
         over = None
         rows = None
+        drops = []
+        hole_base = n0
         if pre is not None:
-            state, slots, acc, over = compact_part_jit(
-                state, slots, acc, arrays.geom, pre[0], pre[1])
+            state, slots, drop, over = compact_part_jit(
+                state, slots, arrays.geom, pre[0], pre[1], hole_base)
+            drops.append(drop)
+            hole_base += sum(pre[0]) + pre[1]
             rows = partition.group_rows(part_groups, pre[0])
         for b0, nb, entry in schedule_segments(entries, depth):
             if rows is not None:
@@ -1193,13 +1261,15 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
                 state = scan_jit(arrays, bvh, state, jnp.uint32(b0), nb)
             if entry is not None:
                 buckets, dropb = entry
-                state, slots, acc, o = compact_part_jit(
-                    state, slots, acc, arrays.geom, buckets, dropb)
+                state, slots, drop, o = compact_part_jit(
+                    state, slots, arrays.geom, buckets, dropb, hole_base)
+                drops.append(drop)
+                hole_base += sum(buckets) + dropb
                 over = o if over is None else (over | o)
                 rows = (partition.group_rows(part_groups, buckets)
                         if len(buckets) > 1 else None)
-        acc = flush_drop_jit(acc, slots, state)
-        return acc, over
+        out = finish_jit(state, slots, tuple(drops), n0, ns, reduce)
+        return out, over
 
     def run(arrays, bvh, basis, perm, sample0, n_samples, seed,
             reduce=True, defer=False):
@@ -1221,15 +1291,13 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
         n_pix = int(perm.shape[0])
         ns = int(n_samples)
         n0 = n_pix * ns
-        acc0 = jnp.zeros((n0, 3), jnp.float32)
         slots0 = jnp.arange(n0, dtype=jnp.int32)
         state0 = id_init(basis, perm, jnp.int32(sample0), ns, seed)
 
         sched = schedules.get(n0)
         if sched is not None:
-            acc, over = _run_scheduled(arrays, bvh, state0, acc0, slots0,
-                                       sched)
-            out = reduce_jit(acc, ns) if reduce else acc
+            out, over = _run_scheduled(arrays, bvh, state0, slots0, n0,
+                                       ns, bool(reduce), sched)
 
             def finish(to_host=True):
                 def fin(x):
@@ -1244,7 +1312,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
                         # discard, redo counted, re-record.
                         schedules.pop(n0, None)
                         acc2, sched2 = _run_counted(arrays, bvh, state0,
-                                                    acc0, slots0, n0)
+                                                    n0)
                         if sched2 is not None:
                             schedules[n0] = sched2
                         return fin(reduce_jit(acc2, ns) if reduce
@@ -1252,8 +1320,7 @@ def make_compacting_renderer(scene: Scene, width: int, height: int,
                 return fin(out)
 
         else:
-            acc, sched_rec = _run_counted(arrays, bvh, state0, acc0,
-                                          slots0, n0)
+            acc, sched_rec = _run_counted(arrays, bvh, state0, n0)
             if sched_rec is not None:
                 schedules[n0] = sched_rec
             out = reduce_jit(acc, ns) if reduce else acc

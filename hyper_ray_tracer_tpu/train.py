@@ -185,8 +185,8 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
     if partition_sched is not None:
         from .ops import partition as _partition
         from .render import (
+            assemble_radiance,
             compact_wavefront_part,
-            flush_wavefront_drop,
             schedule_segments,
         )
 
@@ -199,20 +199,24 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
             n0 = pixel_ids.shape[0]
             state = ray_color.init_state(basis, pixel_ids, sample_ids,
                                          seed)
-            acc = state.radiance * 0.0
             slots = jnp.arange(n0, dtype=jnp.int32)
             over = None
             rows = None
+            drops = []
+            hole_base = n0
 
-            def compact(state, slots, acc, buckets, dropb):
+            def compact(state, slots, buckets, dropb, hb):
                 gs = pg if len(buckets) > 1 else ()
                 return compact_wavefront_part(
-                    state, slots, acc, buckets, dropb, gs,
-                    geom=arrays.geom if gs else None)
+                    state, slots, buckets, dropb, gs,
+                    geom=arrays.geom if gs else None, hole_base=hb)
 
             if pre is not None:
-                state, slots, acc, over = compact(state, slots, acc,
-                                                  pre[0], pre[1])
+                state, slots, drop, over = compact(state, slots,
+                                                   pre[0], pre[1],
+                                                   hole_base)
+                drops.append(drop)
+                hole_base += sum(pre[0]) + pre[1]
                 rows = _partition.group_rows(pg, pre[0])
             for b0, nb, entry in schedule_segments(entries, depth):
                 if rows is not None:
@@ -223,17 +227,20 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
                         arrays, bvh, state, jnp.uint32(b0), nb)
                 if entry is not None:
                     buckets, dropb = entry
-                    state, slots, acc, o = compact(state, slots, acc,
-                                                   buckets, dropb)
+                    state, slots, drop, o = compact(state, slots,
+                                                    buckets, dropb,
+                                                    hole_base)
+                    drops.append(drop)
+                    hole_base += sum(buckets) + dropb
                     over = o if over is None else (over | o)
                     rows = (_partition.group_rows(pg, buckets)
                             if len(buckets) > 1 else None)
-            return flush_wavefront_drop(acc, slots, state), over
+            return assemble_radiance(n0, drops, state, slots), over
 
     elif compact_sched is not None:
         from .render import (
+            assemble_radiance,
             compact_wavefront,
-            flush_wavefront,
             schedule_groups,
         )
 
@@ -243,18 +250,18 @@ def make_loss_fn(scene: Scene, W: int, H: int, depth: int,
             n0 = pixel_ids.shape[0]
             state = ray_color.init_state(basis, pixel_ids, sample_ids,
                                          seed)
-            acc = state.radiance * 0.0
             slots = jnp.arange(n0, dtype=jnp.int32)
             over = None
+            drops = []
             for b0, b1, bucket in groups:
                 state = ray_color.bounce_scan(arrays, bvh, state,
                                               jnp.uint32(b0), b1 - b0)
                 if bucket is not None:
-                    state, slots, acc, o = compact_wavefront(
-                        state, slots, acc, bucket)
+                    state, slots, drop, o = compact_wavefront(
+                        state, slots, bucket)
+                    drops.append(drop)
                     over = o if over is None else (over | o)
-            out = flush_wavefront(acc, slots, state)
-            return out, over
+            return assemble_radiance(n0, drops, state, slots), over
 
     else:
         def render(arrays, bvh, basis, pixel_ids, sample_ids, seed):

@@ -106,17 +106,26 @@ def test_partitioned_permutation_is_exact(final_scene):
     counts = np.asarray(jax.jit(colorer.cat_counts)(state))
     buckets = tuple(int(-(-max(int(c), 1) // 256) * 256) for c in counts)
     dropb = int(n0 - counts.sum() + 512)
-    st2, sl2, acc2, over = jax.jit(
-        R.compact_wavefront_part, static_argnums=(3, 4, 5))(
-            state, slots, acc, buckets, dropb, colorer.part_groups)
+    st2, sl2, drop, over = jax.jit(
+        R.compact_wavefront_part, static_argnums=(2, 3, 4, 6))(
+            state, slots, buckets, dropb, colorer.part_groups,
+            None, n0)
     assert not bool(np.asarray(over))
     # Alive lanes survive exactly once, in their own slot.
     alive_new = np.asarray(st2.alive)
     assert alive_new.sum() == counts.sum()
-    full = np.asarray(R.flush_wavefront_drop(acc2, sl2, st2))
+    # Resolving the drop log + final wavefront reproduces the plain
+    # flush of the ORIGINAL wavefront bit-for-bit (assemble_radiance is
+    # the scheduled paths' one end-of-pass flush).
+    full = np.asarray(R.assemble_radiance(n0, [drop], st2, sl2))
     ref = np.asarray(R.flush_wavefront(
         jnp.zeros((n0, 3), jnp.float32), slots, state))
     np.testing.assert_array_equal(full, ref)
+    # The legacy scatter-add flush agrees too (same semantics).
+    acc2 = R.flush_wavefront_drop(acc, sl2, st2)
+    acc2 = acc2.at[drop[1]].add(drop[0], mode="drop",
+                                unique_indices=True)
+    np.testing.assert_array_equal(np.asarray(acc2), ref)
     # Hole lanes are inert: dead, zero radiance, out-of-range slot.
     holes = ~alive_new
     assert (np.asarray(sl2)[holes] >= n0).all()
@@ -287,12 +296,13 @@ def test_compact_part_fuzz_synthetic():
         else:      # slack everywhere
             buckets = tuple(int(c) + 8 for c in n_cat)
             dropb = int(n - sum(n_cat)) + 8
-        st2, sl2, acc2, over = jax.jit(
-            R.compact_wavefront_part, static_argnums=(3, 4, 5))(
-                state, slots, acc, buckets, dropb, gs)
+        st2, sl2, drop, over = jax.jit(
+            R.compact_wavefront_part, static_argnums=(2, 3, 4, 6))(
+                state, slots, buckets, dropb, gs, None, n0)
         assert not bool(np.asarray(over))
-        # (a) conservation per slot
-        got = np.asarray(R.flush_wavefront_drop(acc2, sl2, st2))
+        # (a) conservation per slot (the drop log + final wavefront
+        # resolve to exactly the per-slot radiance of all input lanes)
+        got = np.asarray(R.assemble_radiance(n0, [drop], st2, sl2))
         want = np.zeros((n0, 3), np.float32)
         np.add.at(want, np.asarray(slots), np.asarray(state.radiance))
         np.testing.assert_array_equal(got, want)
@@ -313,14 +323,14 @@ def test_compact_part_fuzz_synthetic():
             bad = tuple(int(c) - (1 if p == big else 0)
                         for p, c in enumerate(n_cat))
             *_, over_bad = jax.jit(
-                R.compact_wavefront_part, static_argnums=(3, 4, 5))(
-                    state, slots, acc, bad, dropb, gs)
+                R.compact_wavefront_part, static_argnums=(2, 3, 4, 6))(
+                    state, slots, bad, dropb, gs, None, n0)
             assert bool(np.asarray(over_bad))
         if n - sum(n_cat) > 0:
             *_, over_drop = jax.jit(
-                R.compact_wavefront_part, static_argnums=(3, 4, 5))(
-                    state, slots, acc, buckets,
-                    int(n - sum(n_cat)) - 1, gs)
+                R.compact_wavefront_part, static_argnums=(2, 3, 4, 6))(
+                    state, slots, buckets,
+                    int(n - sum(n_cat)) - 1, gs, None, n0)
             assert bool(np.asarray(over_drop))
 
 

@@ -139,10 +139,10 @@ def main():
     t_c3 = rep("compact: + row gathers", _gath, t_c2)
 
     def _full():
-        g, sl, a2, ov = compact_wavefront(after1, slots, acc, bucket)
-        return (g.o.sum() + g.radiance.sum() + sl.sum() + a2.sum()
-                + ov.astype(jnp.float32))
-    t_c4 = rep("compact: full (+drop flush)", _full, t_c3)
+        g, sl, (dr, ds), ov = compact_wavefront(after1, slots, bucket)
+        return (g.o.sum() + g.radiance.sum() + sl.sum() + dr.sum()
+                + ds.sum(dtype=jnp.float32) + ov.astype(jnp.float32))
+    t_c4 = rep("compact: full (+drop log)", _full, t_c3)
     return 0
 
 

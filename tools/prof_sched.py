@@ -23,9 +23,9 @@ from hyper_ray_tracer_tpu import build_scene
 from hyper_ray_tracer_tpu.camera import make_basis
 from hyper_ray_tracer_tpu.ops import partition as P
 from hyper_ray_tracer_tpu.render import (
+    assemble_radiance,
     block_order,
     compact_wavefront_part,
-    flush_wavefront_drop,
     make_ray_colorer,
     prepare_scene,
     schedule_from_cat_counts,
@@ -62,16 +62,20 @@ def main():
     pg = () if a.no_part else colorer.part_groups
     use_part = len(pg) > 0
 
-    def _compact(state, slots, acc, buckets, dropb):
+    def _compact(state, slots, buckets, dropb, hb):
         gs = pg if len(buckets) > 1 else ()
-        return compact_wavefront_part(state, slots, acc, buckets, dropb,
-                                      gs)
+        return compact_wavefront_part(state, slots, buckets, dropb,
+                                      gs, hole_base=hb)
 
     scan_jit = jax.jit(colorer.bounce_scan, static_argnums=(4,))
     scanrows_jit = jax.jit(colorer.bounce_scan_rows, static_argnums=(4, 5))
-    compact_jit = jax.jit(_compact, static_argnums=(3, 4))
-    flush_jit = jax.jit(flush_wavefront_drop)
-    reduce_jit = jax.jit(lambda acc: acc.reshape(SPP, -1, 3).sum(0))
+    compact_jit = jax.jit(_compact, static_argnums=(2, 3, 4))
+
+    def _finish(state, slots, drops):
+        acc = assemble_radiance(N, drops, state, slots)
+        return acc.reshape(SPP, -1, 3).sum(0)
+
+    finish_jit = jax.jit(_finish)
     id_init = jax.jit(
         lambda basis, perm, seed: colorer.init_state(
             basis,
@@ -125,12 +129,15 @@ def main():
         """init (+pre) + segs[:k]; full pipeline when k == len(segs)."""
         def f():
             state = id_init(basis, perm, jnp.uint32(0))
-            acc = jnp.zeros((N, 3), jnp.float32)
             slots = jnp.arange(N, dtype=jnp.int32)
             rows = None
+            drops = []
+            hb = N
             if pre is not None and with_pre:
-                state, slots, acc, _ = compact_jit(state, slots, acc,
-                                                   pre[0], pre[1])
+                state, slots, drop, _ = compact_jit(state, slots,
+                                                    pre[0], pre[1], hb)
+                drops.append(drop)
+                hb += sum(pre[0]) + pre[1]
                 rows = P.group_rows(pg, pre[0])
             for b0, nb, entry in segs[:k]:
                 if rows is not None:
@@ -141,14 +148,18 @@ def main():
                                      nb)
                 if entry is not None:
                     buckets, dropb = entry
-                    state, slots, acc, _ = compact_jit(state, slots, acc,
-                                                       buckets, dropb)
+                    state, slots, drop, _ = compact_jit(state, slots,
+                                                        buckets, dropb,
+                                                        hb)
+                    drops.append(drop)
+                    hb += sum(buckets) + dropb
                     rows = (P.group_rows(pg, buckets)
                             if len(buckets) > 1 else None)
             if k == len(segs):
-                acc = flush_jit(acc, slots, state)
-                return np.asarray(reduce_jit(acc)).sum()
-            return np.asarray(state.radiance.sum() + acc.sum())
+                return np.asarray(finish_jit(state, slots,
+                                             tuple(drops))).sum()
+            return np.asarray(state.radiance.sum()
+                              + sum(r.sum() for r, _ in drops))
         return f
 
     prev = timeit(prefix(0, with_pre=False))
