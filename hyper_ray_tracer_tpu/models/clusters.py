@@ -69,6 +69,9 @@ class ClusterRun(NamedTuple):
     rect_axis: Optional[int]
     cmin: np.ndarray  # [n_clusters, 3] cluster AABB (world, shutter union)
     cmax: np.ndarray  # [n_clusters, 3]
+    # Smallest |radius| over the run's members (spheres; 0.0 otherwise):
+    # feeds the bf16 resolvability gate (ops/cluster_sweep.py).
+    rmin_abs: float = 0.0
 
 
 class ClusterLayout(NamedTuple):
@@ -144,11 +147,13 @@ def build_clusters(geom: GeometrySoA,
         for lv in leaves:
             pad = np.full(width - len(lv), -1, np.int64)
             src_parts.append(np.concatenate([lv, pad]))
+        radii = np.abs(np.asarray(geom.radius)[a:b])
         runs_out.append(ClusterRun(
             base=cursor, n_clusters=len(leaves), width=width,
             types=types, has_motion=motion, has_xform=xform,
             rect_axis=rect_axis,
             cmin=cmin.astype(np.float32), cmax=cmax.astype(np.float32),
+            rmin_abs=float(radii.min()) if radii.size else 0.0,
         ))
         cursor += len(leaves) * width
 

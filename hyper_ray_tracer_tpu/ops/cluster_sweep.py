@@ -46,13 +46,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bvh import _BF, _sphere_tile_bf16
 from .intersect import BIG, PrimFields, make_prim_intersector
 
-# Rays per tile: large enough to amortise per-cluster loop overhead
-# (~2048 x 128 pair sweeps take ~20 us), small enough that an image-block
-# of rays shares most of its cluster set.  Prototype-measured flat
-# 1024..4096 on TPU v5e.
+# Rays per tile: large enough to amortise per-cluster loop overhead,
+# small enough that an image-block of rays shares most of its cluster
+# set (the tile's visit list is the UNION of its lanes' overlap sets,
+# and incoherent secondary bounces pay that union — docs/DESIGN.md §14).
+# Round-2 prototype measured flat 1024..4096 on TPU v5e at 66k prims
+# (one-level, 256 clusters); at 598k (two-level, 2048 clusters) the
+# union effect makes 1024 ~10% faster than 2048 — so two-level scenes
+# take the smaller tile.
 RAY_TILE = 2048
+RAY_TILE_TWO_LEVEL = 1024
+
+# Two-level hierarchy (VERDICT r3 task 2): above this many clusters in a
+# run, Phase A tests SUPER-cluster AABBs only ([tile, S] instead of
+# [tile, C]) and Phase B resolves member clusters inside the visit loop.
+# The recursive median split emits clusters in spatial DFS order, so
+# consecutive blocks of SUPER_FANOUT clusters are already compact — the
+# super boxes are plain blockwise unions, no extra build pass.
+SUPER_MIN_CLUSTERS = 512
+SUPER_FANOUT = 64
 
 
 def make_coherence_key(layout, cell_bits: int = 4):
@@ -96,9 +111,16 @@ def _round8(n: int) -> int:
     return max(8, -(-n // 8) * 8)
 
 
-def make_cluster_intersector(static, layout):
+def make_cluster_intersector(static, layout, bf16: bool = False):
     """Returns trace(geom, o, d, time, t_min, ray_bits, active) ->
-    (t_best, best) over the padded cluster-order geometry ``layout``."""
+    (t_best, best) over the padded cluster-order geometry ``layout``.
+
+    ``bf16``: compute candidate hit distances of static no-xform SPHERE
+    runs in bfloat16 (ops/bvh module-top notes; the caller must re-verify
+    the winner's t in f32 — render.py bounce_step does).  Sphere-heavy
+    30k+ scenes are exactly the regime DESIGN.md §10 predicted the 1.4x
+    isolated tile win would finally show end-to-end; measured on the
+    598k sphereflake it is ~1.4x (docs/DESIGN.md §14)."""
     run_fns = [
         make_prim_intersector(static, types=r.types,
                               has_motion=r.has_motion,
@@ -106,14 +128,68 @@ def make_cluster_intersector(static, layout):
                               rect_axis=r.rect_axis, assume_pure=True)
         for r in layout.runs
     ]
+    from .intersect import PT_SPHERE
+
+    # Static no-xform sphere runs take the packed fast path: the visit
+    # body slices ONE [n_slots, 4] (center, radius) matrix instead of all
+    # 11 PrimFields arrays — the per-visit fixed cost (DMA descriptors)
+    # was about half the cost of a 1024-lane visit before this.
+    run_sphere = [
+        r.types == {PT_SPHERE} and not r.has_motion and not r.has_xform
+        for r in layout.runs
+    ]
+    # bf16 candidates additionally require the radii to be RESOLVABLE in
+    # bf16: the discriminant signal for a sphere of radius r at distance
+    # |oc| scales with (r/|oc|)^2, and bf16's 8-bit mantissa rounds it
+    # away once r is ~256x smaller than the local scale — measured on the
+    # 598k sphereflake (r_min ~0.004 in a ~6-unit flake): bf16 MISSES the
+    # small spheres wholesale (mean radiance 1.886 -> 2.349, not the
+    # documented ~0.5% silhouette noise).  The final scene's r=10 cloud
+    # in a ~555-unit box (ratio 0.018) measures at MC-noise drift
+    # (tests/test_bf16.py).  Gate at min|r| / run extent >= 5e-3, between
+    # the two measured endpoints.
+    def _bf16_resolvable(r):
+        ext = float(np.max(r.cmax.max(0) - r.cmin.min(0)))
+        return ext > 0 and r.rmin_abs / ext >= 5e-3
+
+    run_bf16 = [
+        bf16 and sph and _bf16_resolvable(r)
+        for r, sph in zip(layout.runs, run_sphere)
+    ]
     tail_fns = [
         (s, w, make_prim_intersector(static, types=t, has_motion=m,
                                      has_xform=x, rect_axis=ra,
                                      assume_pure=True))
         for s, w, t, m, x, ra in layout.tail
     ]
-    cluster_bounds = [(jnp.asarray(r.cmin), jnp.asarray(r.cmax))
-                      for r in layout.runs]
+    # Per run: one- or two-level culling metadata.  Two-level runs pad
+    # the member-cluster bounds to S * FANOUT with NaN boxes (NaN slab
+    # comparisons are False, so pad members never register as overlapped
+    # — the same convention as pad primitive slots).
+    two_level = [r.n_clusters >= SUPER_MIN_CLUSTERS for r in layout.runs]
+    cluster_bounds = []
+    super_bounds = []
+    member_bounds = []
+    for r, two in zip(layout.runs, two_level):
+        if not two:
+            cluster_bounds.append((jnp.asarray(r.cmin), jnp.asarray(r.cmax)))
+            super_bounds.append(None)
+            member_bounds.append(None)
+            continue
+        S = -(-r.n_clusters // SUPER_FANOUT)
+        smin = np.stack([r.cmin[s * SUPER_FANOUT:(s + 1) * SUPER_FANOUT]
+                         .min(0) for s in range(S)])
+        smax = np.stack([r.cmax[s * SUPER_FANOUT:(s + 1) * SUPER_FANOUT]
+                         .max(0) for s in range(S)])
+        pad = S * SUPER_FANOUT - r.n_clusters
+        mmin = np.concatenate(
+            [r.cmin, np.full((pad, 3), np.nan, np.float32)])
+        mmax = np.concatenate(
+            [r.cmax, np.full((pad, 3), np.nan, np.float32)])
+        cluster_bounds.append(None)
+        super_bounds.append((jnp.asarray(smin.astype(np.float32)),
+                             jnp.asarray(smax.astype(np.float32))))
+        member_bounds.append((jnp.asarray(mmin), jnp.asarray(mmax)))
 
     def _tile_slice(geom, start, width):
         sl = [jax.lax.dynamic_slice_in_dim(getattr(geom, k), start,
@@ -129,11 +205,62 @@ def make_cluster_intersector(static, layout):
         upd = tt < t_best
         return jnp.where(upd, tt, t_best), jnp.where(upd, base_idx + j, best)
 
-    def _make_run_loop(run, hit_fn):
+    def _cluster_t(hit_fn, kind, geom, sph, start, cw, ray_args, t_min,
+                   t_best):
+        """Candidate t of one cluster tile.
+
+        kind: 'f32' (generic PrimFields path), 'sphere' (packed
+        [*, 4] static-sphere fast path — one dynamic_slice per visit,
+        identical primal math to intersect.sphere_t), or 'bf16'
+        (sphere fast path in bfloat16; the winner's t is re-verified in
+        f32 by the renderer)."""
+        o_b, d_b, time_b, bits_b = ray_args[:4]
+        if kind == "f32":
+            pf = _tile_slice(geom, start, cw)
+            return hit_fn(pf, o_b, d_b, time_b, t_min, t_best[:, None],
+                          bits_b, jnp)
+        pk = jax.lax.dynamic_slice_in_dim(sph, start, cw, 0)[None]
+        center = pk[..., :3]  # [1, cw, 3]
+        radius = pk[..., 3]  # [1, cw]
+        if kind == "bf16":
+            d16, a16, inv_a16, t_min16 = ray_args[7]
+            r16 = radius.astype(_BF)
+            oc16 = (o_b - center).astype(_BF)
+            half_b = (oc16 * d16).sum(-1)
+            c2 = (oc16 * oc16).sum(-1) - r16 * r16
+            disc = half_b * half_b - a16 * c2
+            sq = jnp.sqrt(jnp.maximum(disc, _BF(0.0)))
+            t_near = (-half_b - sq) * inv_a16
+            t_far = (-half_b + sq) * inv_a16
+            t_max16 = t_best.astype(_BF)[:, None]
+            exists = disc >= _BF(0.0)
+            ok1 = exists & (t_near >= t_min16) & (t_near <= t_max16)
+            ok2 = exists & (t_far >= t_min16) & (t_far <= t_max16)
+            t16 = jnp.where(ok1, t_near,
+                            jnp.where(ok2, t_far, _BF(BIG)))
+            return t16.astype(jnp.float32)
+        # f32 sphere fast path — same formula as intersect._sphere_roots
+        # (NaN pads: every comparison below is False, so pads never hit).
+        a_l = ray_args[8]  # [tile, 1] = dot(d, d)
+        oc = o_b - center
+        half_b = (oc * d_b).sum(-1)
+        c2 = (oc * oc).sum(-1) - radius * radius
+        disc = half_b * half_b - a_l * c2
+        exists = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(exists, jnp.maximum(disc, 1e-30), 1.0))
+        t_near = (-half_b - sq) / a_l
+        t_far = (-half_b + sq) / a_l
+        t_max = t_best[:, None]
+        ok1 = exists & (t_near >= t_min) & (t_near <= t_max)
+        ok2 = exists & (t_far >= t_min) & (t_far <= t_max)
+        return jnp.where(ok1, t_near, jnp.where(ok2, t_far, BIG))
+
+    def _make_run_loop(run, hit_fn, kind):
         cw = run.width
 
-        def run_loop(geom, order, count, entry_sorted, o_b, d_b, time_b,
-                     bits_b, t_min, k0, t_best, best):
+        def run_loop(geom, sph, rx, ray_args, t_min, k0, t_best, best):
+            order, count, entry_sorted = rx
+
             def cond(carry):
                 k, t_best, _ = carry
                 # Next-nearest cluster starts beyond every lane's best hit
@@ -144,9 +271,8 @@ def make_cluster_intersector(static, layout):
             def body(carry):
                 k, t_best, best = carry
                 start = run.base + order[k] * cw
-                pf = _tile_slice(geom, start, cw)
-                t = hit_fn(pf, o_b, d_b, time_b, t_min, t_best[:, None],
-                           bits_b, jnp)
+                t = _cluster_t(hit_fn, kind, geom, sph, start, cw,
+                               ray_args, t_min, t_best)
                 t_best, best = _fold(start, t, t_best, best)
                 return k + 1, t_best, best
 
@@ -156,12 +282,81 @@ def make_cluster_intersector(static, layout):
 
         return run_loop
 
-    run_loops = [_make_run_loop(r, fn)
-                 for r, fn in zip(layout.runs, run_fns)]
+    def _make_run_loop2(run, hit_fn, mb, kind):
+        """Two-level visit loop: outer over SUPER-clusters nearest-first,
+        inner over each super's member clusters nearest-first.  Pure
+        pruning — a super (or member) is skipped only when its slab entry
+        lies beyond every lane's current best, which cannot change any
+        lane's strict-< closest-hit fold; visit ORDER differs from the
+        flat sorted order only across supers, which affects exact-t ties
+        alone (image-equivalent, see module docstring)."""
+        cw = run.width
+        mmin, mmax = mb
+        F = SUPER_FANOUT
+
+        def run_loop(geom, sph, rx, ray_args, t_min, k0, t_best, best):
+            order_s, count_s, entry_s = rx
+            o_l, inv_l, act_l = ray_args[4:7]
+
+            def cond_s(carry):
+                k, t_best, _ = carry
+                return (k < count_s) & (entry_s[k] < t_best.max())
+
+            def body_s(carry):
+                k, t_best, best = carry
+                s = order_s[k]
+                # Member-cluster slab tests for this tile: [tile, F].
+                bmin = jax.lax.dynamic_slice_in_dim(mmin, s * F, F, 0)
+                bmax = jax.lax.dynamic_slice_in_dim(mmax, s * F, F, 0)
+                t0 = (bmin[None] - o_l[:, None]) * inv_l[:, None]
+                t1 = (bmax[None] - o_l[:, None]) * inv_l[:, None]
+                lo = jnp.minimum(t0, t1).max(-1)
+                hi = jnp.maximum(t0, t1).min(-1)
+                hit = ((hi > jnp.maximum(lo, t_min)) & (lo < t_best[:, None])
+                       & act_l[:, None])
+                entry_f = jnp.where(hit, lo, BIG).min(0)  # [F]
+                order_f = jnp.argsort(entry_f).astype(jnp.int32)
+                entry_fs = jnp.sort(entry_f)
+                count_f = (entry_fs < jnp.float32(0.5) * BIG).sum(
+                    dtype=jnp.int32)
+
+                def cond_f(c2):
+                    k2, tb2, _ = c2
+                    return (k2 < count_f) & (entry_fs[k2] < tb2.max())
+
+                def body_f(c2):
+                    k2, tb2, bb2 = c2
+                    ci = s * F + order_f[k2]
+                    start = run.base + ci * cw
+                    t = _cluster_t(hit_fn, kind, geom, sph, start, cw,
+                                   ray_args, t_min, tb2)
+                    tb2, bb2 = _fold(start, t, tb2, bb2)
+                    return k2 + 1, tb2, bb2
+
+                _, t_best, best = jax.lax.while_loop(
+                    cond_f, body_f, (k * 0, t_best, best))
+                return k + 1, t_best, best
+
+            _, t_best, best = jax.lax.while_loop(
+                cond_s, body_s, (k0, t_best, best))
+            return t_best, best
+
+        return run_loop
+
+    run_kinds = ["bf16" if bf else ("sphere" if sph else "f32")
+                 for bf, sph in zip(run_bf16, run_sphere)]
+    run_loops = [
+        _make_run_loop2(r, fn, mb, kd) if two else _make_run_loop(r, fn, kd)
+        for r, fn, two, mb, kd in zip(layout.runs, run_fns, two_level,
+                                      member_bounds, run_kinds)
+    ]
+    any_bf16 = any(run_bf16)
+    any_sphere = any(k != "f32" for k in run_kinds)
 
     def trace(geom, o, d, time, t_min, ray_bits, active):
         n = o.shape[0]
-        tile = RAY_TILE if n >= RAY_TILE else _round8(n)
+        pref = RAY_TILE_TWO_LEVEL if any(two_level) else RAY_TILE
+        tile = pref if n >= pref else _round8(n)
         n_pad = -(-n // tile) * tile
         t_tiles = n_pad // tile
         if n_pad != n:
@@ -177,26 +372,31 @@ def make_cluster_intersector(static, layout):
             ray_bits = pad(ray_bits, 0)
             active = pad(active, False)
 
-        # ---- Phase A: cluster slab tests + per-tile sort.  Two forms of
-        # the same math: DENSE ([N, C] in one shot — fastest while the
-        # transient fits comfortably) and PER-TILE (a lax.map over ray
-        # tiles, [tile, C] transients) for the big-C regime the 4096
-        # cluster cap allows (models/clusters.py) — the dense form at
-        # 360k rays x 4096 clusters would materialise multi-GB arrays.
-        c_total = sum(cm.shape[0] for cm, _ in cluster_bounds)
+        # ---- Phase A: cluster slab tests + per-tile sort.  Two-level
+        # runs test SUPER-cluster boxes here ([.., S], S = C/64); their
+        # member clusters resolve inside the visit loop (run_loop2).  Two
+        # forms of the same math: DENSE ([N, C] in one shot — fastest
+        # while the transient fits comfortably) and PER-TILE (a lax.map
+        # over ray tiles, [tile, C] transients) for the big-C regime —
+        # the dense form at 360k rays x 4096 boxes would materialise
+        # multi-GB arrays.
+        phase_bounds = [sb if two else cb
+                        for cb, sb, two in zip(cluster_bounds, super_bounds,
+                                               two_level)]
+        c_total = sum(cm.shape[0] for cm, _ in phase_bounds)
         dense_a = n_pad * max(c_total, 1) <= (1 << 28)
 
         def _phase_a(args):
             o_l, d_l, act_l = args  # [tile(s), 3] / [tile(s)]
             inv = 1.0 / d_l
             outs = []
-            for (cmin, cmax) in cluster_bounds:
+            for (cmin, cmax) in phase_bounds:
                 t0 = (cmin[None] - o_l[:, None]) * inv[:, None]
                 t1 = (cmax[None] - o_l[:, None]) * inv[:, None]
                 lo = jnp.minimum(t0, t1).max(-1)
                 hi = jnp.maximum(t0, t1).min(-1)
                 hit = (hi > jnp.maximum(lo, t_min)) & act_l[:, None]
-                outs.append(jnp.where(hit, lo, BIG))  # [tile(s), C]
+                outs.append(jnp.where(hit, lo, BIG))  # [tile(s), C or S]
             return tuple(outs)
 
         if dense_a:
@@ -229,6 +429,13 @@ def make_cluster_intersector(static, layout):
             tuple(run_xs),
         )
 
+        # Packed static-sphere matrix for the fast visit path (loop-
+        # invariant: XLA hoists it out of the tile scan).
+        sph = None
+        if any_sphere:
+            sph = jnp.concatenate([geom.p0, geom.radius[:, None]],
+                                  axis=-1)
+
         # ---- Phase B: per-tile culled sweeps.
         def tile_body(_, xs_t):
             o_l, d_l, time_l, bits_l, act_l, rxs = xs_t
@@ -236,6 +443,14 @@ def make_cluster_intersector(static, layout):
             d_b = d_l[:, None, :]
             time_b = time_l[:, None]
             bits_b = bits_l[:, None]
+            bfq = None
+            if any_bf16:
+                d16 = d_b.astype(_BF)
+                a16 = (d16 * d16).sum(-1)
+                bfq = (d16, a16, _BF(1.0) / a16, jnp.asarray(t_min, _BF))
+            a_l = (d_l * d_l).sum(-1)[:, None]  # [tile, 1]
+            ray_args = (o_b, d_b, time_b, bits_b, o_l, 1.0 / d_l, act_l,
+                        bfq, a_l)
             # Device-varying inits (shard_map-safe); inactive lanes pinned
             # at -BIG so nothing can beat them and they never inflate the
             # early-termination max.
@@ -252,10 +467,9 @@ def make_cluster_intersector(static, layout):
                        bits_b, jnp)
                 t_best, best = _fold(s, t, t_best, best)
 
-            for loop, (order, count, entry_sorted) in zip(run_loops, rxs):
-                t_best, best = loop(geom, order, count, entry_sorted,
-                                    o_b, d_b, time_b, bits_b, t_min,
-                                    k0, t_best, best)
+            for loop, rx in zip(run_loops, rxs):
+                t_best, best = loop(geom, sph, rx, ray_args, t_min, k0,
+                                    t_best, best)
             return None, (t_best, best)
 
         _, (tb, bb) = jax.lax.scan(tile_body, None, xs)

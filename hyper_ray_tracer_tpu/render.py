@@ -68,21 +68,25 @@ _SKY_WHITE = np.float32([1.0, 1.0, 1.0])
 _SKY_BLUE = np.float32([0.5, 0.7, 1.0])
 
 # Measured crossover (tools/bench_crossover.py, TPU v5e, 90k rays,
-# synthetic K-sphere scenes; ms per trace, camera / secondary rays):
+# synthetic K-sphere scenes; ms per trace, camera / secondary rays;
+# round-4 re-run with the two-level cluster hierarchy):
 #
-#   K       sweep        cluster      bvh (ray-scaled)
-#   3,400     32 /  34     28 /  36    1,611 /  2,244
-#   30,000   124 / 123     35 / 114    2,513 /  4,994
-#   100,000  346 / 346     47 / 234    3,233 /  8,175
-#   300,000  983 / 983     92 / 680    4,351 / 12,561
+#   K         sweep          cluster      bvh (ray-scaled)
+#   3,400       37 /   37     29 /  32    1,616 /  2,232
+#   30,000     123 /  126     34 /  85    2,539 /  5,001
+#   100,000    348 /  345     43 / 333    3,265 /  8,153
+#   300,000    986 /  984     57 / 743    4,361 / 12,524
+#   1,000,000 3419 / 3425     87 / 2243   2,566 / 17,955
 #
 # Two conclusions drive the auto policy: (1) gather-based BVH traversal
-# NEVER wins — per-ray divergent node cursors force [N]-gathers every
-# step (~1.8 ns/elem), so even at 300k prims it trails the cluster sweep
-# by ~50x; it stays available only as the forced 'bvh' parity mode.
-# (2) the cluster-culled sweep overtakes the plain sweep at ~30k prims on
-# BOTH ray distributions (at reference scales the sweep still wins
-# end-to-end — see resolve_intersector).
+# never wins overall — per-ray divergent node cursors force [N]-gathers
+# every step (~1.8 ns/elem); its O(log P) scaling finally beats the
+# O(P) sweep on COHERENT rays at 1M prims, but it still trails the
+# cluster sweep 29x there and loses badly on secondary rays, so it stays
+# available only as the forced 'bvh' parity mode.  (2) the cluster-
+# culled sweep overtakes the plain sweep at ~30k prims on BOTH ray
+# distributions and holds through 1M (at reference scales the sweep
+# still wins end-to-end — see resolve_intersector).
 AUTO_CLUSTER_MIN_PRIMS = 30_000
 
 
@@ -265,7 +269,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     around the discrete traversal — ~15% less per-bounce work; values agree
     with the differentiable path to float rounding.
 
-    ``bf16_hits=True`` (sweep mode only; ignored for cluster/bvh) computes
+    ``bf16_hits=True`` (sweep and cluster modes; ignored for bvh) computes
     candidate hit distances of static no-xform sphere tiles in bf16 and
     re-verifies the winner's t in f32 (the recompute runs even when
     ``differentiable=False``), so only WHICH primitive wins carries bf16
@@ -284,7 +288,8 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         # the runtime arrays (the padded geometry itself is discarded here;
         # only the layout metadata drives tracing).
         _, layout = build_clusters(scene.arrays.geom, static.n_prims)
-        cluster_trace = make_cluster_intersector(static, layout)
+        cluster_trace = make_cluster_intersector(static, layout,
+                                                 bf16=bf16_hits)
         cluster_layout = layout
 
         def trace(geom, bvh, o, d, time, t_min, ray_bits, active,
@@ -313,7 +318,12 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
             # ranged-tile form exists — disable partitioning rather than
             # crash at the first rows= trace.
             part_groups = ()
-    bf16_hits = bf16_hits and mode == "sweep"
+    # bf16 candidate hits exist for the sweep AND (since round 4) for
+    # sphere runs of the cluster intersector — the sphere-heavy 30k+
+    # regime is where the isolated 1.4x tile win finally pays end-to-end
+    # (DESIGN.md §14).  The winner recompute below re-verifies t in f32
+    # either way; 'bvh' parity mode stays f32-only.
+    bf16_hits = bf16_hits and mode in ("sweep", "cluster")
     prim_hit_t = make_prim_intersector(static)
     detail_fn = make_hit_detailer(static)
     w_minus_1 = np.float32(width - 1)

@@ -32,7 +32,7 @@ from hyper_ray_tracer_tpu.render import (
 W, H = 400, 225
 N = W * H  # 90k rays per trace
 
-SIZES = [3_400, 30_000, 100_000, 300_000]
+SIZES = [3_400, 30_000, 100_000, 300_000, 1_000_000]
 
 
 def bvh_ray_div(K: int) -> int:
@@ -40,7 +40,13 @@ def bvh_ray_div(K: int) -> int:
     final scene; run it with fewer rays and scale (cost is linear in rays).
     The divisor grows with K so a single dispatch stays well under the
     tunneled device's ~30 s kill threshold."""
-    return 8 if K <= 30_000 else 32
+    return 8 if K <= 30_000 else (32 if K <= 300_000 else 64)
+
+
+def sweep_ray_div(K: int) -> int:
+    """The dense sweep is linear in rays too; at 1M prims a full 90k-ray
+    trace is ~11 s — scale it the same way the BVH rows are scaled."""
+    return 1 if K <= 300_000 else 8
 
 
 def make_big_scene(K: int, seed: int = 0):
@@ -116,7 +122,8 @@ def main() -> int:
                 trace = jax.jit(lambda o, d, t, b, a, _g=arrays.geom,
                                 _b=bvh, _t=tr: _t(_g, _b, o, d, t, T_MIN,
                                                   b, a)[0].sum())
-            div = bvh_ray_div(K) if mode == "bvh" else 1
+            div = (bvh_ray_div(K) if mode == "bvh"
+                   else sweep_ray_div(K) if mode == "sweep" else 1)
             sl = slice(0, N // div)
             try:
                 t_cam = bench(trace, state.o[sl], state.d[sl],
