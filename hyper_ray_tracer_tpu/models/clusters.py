@@ -69,8 +69,10 @@ class ClusterRun(NamedTuple):
     rect_axis: Optional[int]
     cmin: np.ndarray  # [n_clusters, 3] cluster AABB (world, shutter union)
     cmax: np.ndarray  # [n_clusters, 3]
-    # Smallest |radius| over the run's members (spheres; 0.0 otherwise):
-    # feeds the bf16 resolvability gate (ops/cluster_sweep.py).
+    # Smallest |radius| over the run's members (spheres; 0.0 otherwise).
+    # Diagnostic metadata: it powered the round-4 bf16 resolvability
+    # experiment (DESIGN.md §14 — the mode was removed by measurement)
+    # and stays for layout introspection.
     rmin_abs: float = 0.0
 
 

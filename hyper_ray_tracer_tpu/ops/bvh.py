@@ -71,8 +71,11 @@ _BF = jnp.bfloat16
 _BIG_BF = np.asarray(3.0e38, dtype=_BF)
 
 
-def _sphere_tile_bf16(pf, o32, d16, a16, inv_a16, t_min16, t_max16):
-    """Static no-xform sphere tile in bf16 (sphere.rs:40-58 semantics).
+def _sphere_bf16_core(center, radius, o32, d16, a16, inv_a16, t_min16,
+                      t_max16):
+    """bf16 sphere candidate t (sphere.rs:40-58 semantics): the ONE
+    definition both bf16 paths share (the sweep's PrimFields tiles below
+    and the cluster intersector's packed [*, 4] visits).
 
     The ray-center DIFFERENCE is computed in f32 and only then cast:
     rounding o and c to bf16 *before* subtracting makes the oc error scale
@@ -81,8 +84,8 @@ def _sphere_tile_bf16(pf, o32, d16, a16, inv_a16, t_min16, t_max16):
     O(1)).  Differencing first keeps every bf16 rounding relative to the
     LOCAL scale |oc|, so t errors stay ~0.5% of t.
     """
-    r = pf.radius.astype(_BF)  # [1, W]
-    oc = (o32 - pf.p0).astype(_BF)  # [N, W, 3] f32 subtract, then cast
+    r = radius.astype(_BF)  # [1, W]
+    oc = (o32 - center).astype(_BF)  # [N, W, 3] f32 subtract, then cast
     half_b = (oc * d16).sum(-1)
     c2 = (oc * oc).sum(-1) - r * r
     disc = half_b * half_b - a16 * c2
@@ -93,6 +96,12 @@ def _sphere_tile_bf16(pf, o32, d16, a16, inv_a16, t_min16, t_max16):
     ok1 = exists & (t_near >= t_min16) & (t_near <= t_max16)
     ok2 = exists & (t_far >= t_min16) & (t_far <= t_max16)
     return jnp.where(ok1, t_near, jnp.where(ok2, t_far, _BIG_BF))
+
+
+def _sphere_tile_bf16(pf, o32, d16, a16, inv_a16, t_min16, t_max16):
+    """PrimFields form of ``_sphere_bf16_core`` (the sweep's tiles)."""
+    return _sphere_bf16_core(pf.p0, pf.radius, o32, d16, a16, inv_a16,
+                             t_min16, t_max16)
 
 
 

@@ -46,7 +46,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bvh import _BF, _sphere_tile_bf16
 from .intersect import BIG, PrimFields, make_prim_intersector
 
 # Rays per tile: large enough to amortise per-cluster loop overhead,
@@ -111,16 +110,19 @@ def _round8(n: int) -> int:
     return max(8, -(-n // 8) * 8)
 
 
-def make_cluster_intersector(static, layout, bf16: bool = False):
+def make_cluster_intersector(static, layout):
     """Returns trace(geom, o, d, time, t_min, ray_bits, active) ->
     (t_best, best) over the padded cluster-order geometry ``layout``.
 
-    ``bf16``: compute candidate hit distances of static no-xform SPHERE
-    runs in bfloat16 (ops/bvh module-top notes; the caller must re-verify
-    the winner's t in f32 — render.py bounce_step does).  Sphere-heavy
-    30k+ scenes are exactly the regime DESIGN.md §10 predicted the 1.4x
-    isolated tile win would finally show end-to-end; measured on the
-    598k sphereflake it is ~1.4x (docs/DESIGN.md §14)."""
+    No bf16 candidate mode here, by measurement (docs/DESIGN.md §14): a
+    sphere's bf16 discriminant signal scales with (r/|oc|)^2, and the
+    30k+-primitive scenes cluster mode exists for are exactly the many-
+    small-spheres workloads where that rounds to zero — on the 598k
+    sphereflake bf16 candidates ran 3.9x faster and MISSED whole spheres
+    (mean radiance 1.886 -> 2.349), and no build-time gate can know the
+    viewing distance.  The sweep keeps its opt-in bf16 (close/large-
+    sphere scenes, drift-bounded by tests/test_bf16.py); cluster mode
+    stays f32."""
     run_fns = [
         make_prim_intersector(static, types=r.types,
                               has_motion=r.has_motion,
@@ -137,24 +139,6 @@ def make_cluster_intersector(static, layout, bf16: bool = False):
     run_sphere = [
         r.types == {PT_SPHERE} and not r.has_motion and not r.has_xform
         for r in layout.runs
-    ]
-    # bf16 candidates additionally require the radii to be RESOLVABLE in
-    # bf16: the discriminant signal for a sphere of radius r at distance
-    # |oc| scales with (r/|oc|)^2, and bf16's 8-bit mantissa rounds it
-    # away once r is ~256x smaller than the local scale — measured on the
-    # 598k sphereflake (r_min ~0.004 in a ~6-unit flake): bf16 MISSES the
-    # small spheres wholesale (mean radiance 1.886 -> 2.349, not the
-    # documented ~0.5% silhouette noise).  The final scene's r=10 cloud
-    # in a ~555-unit box (ratio 0.018) measures at MC-noise drift
-    # (tests/test_bf16.py).  Gate at min|r| / run extent >= 5e-3, between
-    # the two measured endpoints.
-    def _bf16_resolvable(r):
-        ext = float(np.max(r.cmax.max(0) - r.cmin.min(0)))
-        return ext > 0 and r.rmin_abs / ext >= 5e-3
-
-    run_bf16 = [
-        bf16 and sph and _bf16_resolvable(r)
-        for r, sph in zip(layout.runs, run_sphere)
     ]
     tail_fns = [
         (s, w, make_prim_intersector(static, types=t, has_motion=m,
@@ -209,11 +193,9 @@ def make_cluster_intersector(static, layout, bf16: bool = False):
                    t_best):
         """Candidate t of one cluster tile.
 
-        kind: 'f32' (generic PrimFields path), 'sphere' (packed
+        kind: 'f32' (generic PrimFields path) or 'sphere' (packed
         [*, 4] static-sphere fast path — one dynamic_slice per visit,
-        identical primal math to intersect.sphere_t), or 'bf16'
-        (sphere fast path in bfloat16; the winner's t is re-verified in
-        f32 by the renderer)."""
+        identical primal math to intersect.sphere_t)."""
         o_b, d_b, time_b, bits_b = ray_args[:4]
         if kind == "f32":
             pf = _tile_slice(geom, start, cw)
@@ -222,23 +204,6 @@ def make_cluster_intersector(static, layout, bf16: bool = False):
         pk = jax.lax.dynamic_slice_in_dim(sph, start, cw, 0)[None]
         center = pk[..., :3]  # [1, cw, 3]
         radius = pk[..., 3]  # [1, cw]
-        if kind == "bf16":
-            d16, a16, inv_a16, t_min16 = ray_args[7]
-            r16 = radius.astype(_BF)
-            oc16 = (o_b - center).astype(_BF)
-            half_b = (oc16 * d16).sum(-1)
-            c2 = (oc16 * oc16).sum(-1) - r16 * r16
-            disc = half_b * half_b - a16 * c2
-            sq = jnp.sqrt(jnp.maximum(disc, _BF(0.0)))
-            t_near = (-half_b - sq) * inv_a16
-            t_far = (-half_b + sq) * inv_a16
-            t_max16 = t_best.astype(_BF)[:, None]
-            exists = disc >= _BF(0.0)
-            ok1 = exists & (t_near >= t_min16) & (t_near <= t_max16)
-            ok2 = exists & (t_far >= t_min16) & (t_far <= t_max16)
-            t16 = jnp.where(ok1, t_near,
-                            jnp.where(ok2, t_far, _BF(BIG)))
-            return t16.astype(jnp.float32)
         # f32 sphere fast path — same formula as intersect._sphere_roots
         # (NaN pads: every comparison below is False, so pads never hit).
         a_l = ray_args[8]  # [tile, 1] = dot(d, d)
@@ -343,14 +308,12 @@ def make_cluster_intersector(static, layout, bf16: bool = False):
 
         return run_loop
 
-    run_kinds = ["bf16" if bf else ("sphere" if sph else "f32")
-                 for bf, sph in zip(run_bf16, run_sphere)]
+    run_kinds = ["sphere" if sph else "f32" for sph in run_sphere]
     run_loops = [
         _make_run_loop2(r, fn, mb, kd) if two else _make_run_loop(r, fn, kd)
         for r, fn, two, mb, kd in zip(layout.runs, run_fns, two_level,
                                       member_bounds, run_kinds)
     ]
-    any_bf16 = any(run_bf16)
     any_sphere = any(k != "f32" for k in run_kinds)
 
     def trace(geom, o, d, time, t_min, ray_bits, active):
@@ -443,14 +406,9 @@ def make_cluster_intersector(static, layout, bf16: bool = False):
             d_b = d_l[:, None, :]
             time_b = time_l[:, None]
             bits_b = bits_l[:, None]
-            bfq = None
-            if any_bf16:
-                d16 = d_b.astype(_BF)
-                a16 = (d16 * d16).sum(-1)
-                bfq = (d16, a16, _BF(1.0) / a16, jnp.asarray(t_min, _BF))
             a_l = (d_l * d_l).sum(-1)[:, None]  # [tile, 1]
             ray_args = (o_b, d_b, time_b, bits_b, o_l, 1.0 / d_l, act_l,
-                        bfq, a_l)
+                        None, a_l)
             # Device-varying inits (shard_map-safe); inactive lanes pinned
             # at -BIG so nothing can beat them and they never inflate the
             # early-termination max.

@@ -772,69 +772,46 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
     gp_s = np.asarray(gp_s, np.int32)
     GQ = int(gp_g.shape[0])
 
-    # Curved-mirror SEGMENT pairs (rect/box sources): per sphere mirror,
-    # the largest-apparent boundary segments (host-side baked geometry).
-    # Row r of the base segment arrays = rect r//4's edge r%4 for
-    # r < 4R, else box (r-4R)//12's edge (r-4R)%12.
+    # Segment pairs through CURVED mirrors and GLASS spheres (rect/box
+    # sources): one shared host-side bake of every boundary segment's
+    # midpoint/length, then per-bender apparent-size ranking.  Row r of
+    # the base segment arrays = rect r//4's edge r%4 for r < 4R, else
+    # box (r-4R)//12's edge (r-4R)%12.
     K0 = 4 * R + 12 * B
-    cms_m, cms_sel = [], []
-    if K0 and len(mirror_sphere_ids):
-        host_mid = []
-        host_len = []
+    host_mid = host_len = None
+    if K0 and (len(mirror_sphere_ids) or len(glass_sphere_ids)):
+        mids, lens = [], []
         if R > 0:
             rc_h = np.asarray(_rect_corners(g_host, rect_ids))
             a = rc_h.reshape(-1, 3)
             bb = np.roll(rc_h, -1, axis=1).reshape(-1, 3)
-            host_mid.append(0.5 * (a + bb))
-            host_len.append(np.linalg.norm(bb - a, axis=-1))
+            mids.append(0.5 * (a + bb))
+            lens.append(np.linalg.norm(bb - a, axis=-1))
         if B > 0:
             bc_h = np.asarray(_box_corners(g_host, box_ids))
             a = bc_h[:, _BOX_EA].reshape(-1, 3)
             bb = bc_h[:, _BOX_EB].reshape(-1, 3)
-            host_mid.append(0.5 * (a + bb))
-            host_len.append(np.linalg.norm(bb - a, axis=-1))
-        host_mid = np.concatenate(host_mid)
-        host_len = np.concatenate(host_len)
-        for ms in mirror_sphere_ids:
-            mm = np.asarray(g_host.p0)[int(ms)]
-            app = host_len / np.maximum(
-                np.linalg.norm(host_mid - mm, axis=-1), 1e-6)
-            keep = np.argsort(-app, kind="stable")[:mirror_pairs_max]
-            cms_m.extend(int(ms) for _ in keep)
-            cms_sel.extend(int(v) for v in keep)
-    cms_m = np.asarray(cms_m, np.int32)
-    cms_sel = np.asarray(cms_sel, np.int32)
-    Q2 = int(cms_m.shape[0])
+            mids.append(0.5 * (a + bb))
+            lens.append(np.linalg.norm(bb - a, axis=-1))
+        host_mid = np.concatenate(mids)
+        host_len = np.concatenate(lens)
 
-    # Refractive SEGMENT pairs (rect/box sources through glass spheres):
-    # same apparent-size ranking against each glass sphere.
-    gls_g, gls_sel = [], []
-    if K0 and len(glass_sphere_ids):
-        host_mid2 = []
-        host_len2 = []
-        if R > 0:
-            rc_h = np.asarray(_rect_corners(g_host, rect_ids))
-            a = rc_h.reshape(-1, 3)
-            bb = np.roll(rc_h, -1, axis=1).reshape(-1, 3)
-            host_mid2.append(0.5 * (a + bb))
-            host_len2.append(np.linalg.norm(bb - a, axis=-1))
-        if B > 0:
-            bc_h = np.asarray(_box_corners(g_host, box_ids))
-            a = bc_h[:, _BOX_EA].reshape(-1, 3)
-            bb = bc_h[:, _BOX_EB].reshape(-1, 3)
-            host_mid2.append(0.5 * (a + bb))
-            host_len2.append(np.linalg.norm(bb - a, axis=-1))
-        host_mid2 = np.concatenate(host_mid2)
-        host_len2 = np.concatenate(host_len2)
-        for gs in glass_sphere_ids:
-            gg = np.asarray(g_host.p0)[int(gs)]
-            app = host_len2 / np.maximum(
-                np.linalg.norm(host_mid2 - gg, axis=-1), 1e-6)
-            keep = np.argsort(-app, kind="stable")[:mirror_pairs_max]
-            gls_g.extend(int(gs) for _ in keep)
-            gls_sel.extend(int(v) for v in keep)
-    gls_g = np.asarray(gls_g, np.int32)
-    gls_sel = np.asarray(gls_sel, np.int32)
+    def _rank_segments(bender_ids):
+        """Per bender: the mirror_pairs_max largest-apparent segments."""
+        bm, bsel = [], []
+        if host_mid is not None:
+            for bi in bender_ids:
+                bp = np.asarray(g_host.p0)[int(bi)]
+                app = host_len / np.maximum(
+                    np.linalg.norm(host_mid - bp, axis=-1), 1e-6)
+                keep = np.argsort(-app, kind="stable")[:mirror_pairs_max]
+                bm.extend(int(bi) for _ in keep)
+                bsel.extend(int(v) for v in keep)
+        return np.asarray(bm, np.int32), np.asarray(bsel, np.int32)
+
+    cms_m, cms_sel = _rank_segments(mirror_sphere_ids)
+    Q2 = int(cms_m.shape[0])
+    gls_g, gls_sel = _rank_segments(glass_sphere_ids)
     GQ2 = int(gls_g.shape[0])
     # Self-exclusion: a mirror's own edges reflected across its own plane
     # land exactly on themselves — keeping them would double-count the
@@ -1230,9 +1207,11 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                                   jnp.float32))
             offsets.append(off_g.reshape(-1, 3))
 
-        if Q2 > 0:
-            # Rect/box boundary segments seen in CURVED mirrors: one
-            # Alhazen chief solve per sample (_curved_mirror_point_xy).
+        def _seg_bank():
+            """Every rect/box boundary segment (traced, gradient path):
+            (pa, pb, face normals, owning solid's center) in the shared
+            4R+12B row layout — built once, indexed by BOTH the curved-
+            mirror and the glass segment families."""
             pa_parts, pb_parts, n_parts, cen3_parts = [], [], [], []
             if R > 0:
                 pa_parts.append(rc.reshape(-1, 3))
@@ -1244,10 +1223,20 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                 pb_parts.append(bc[:, _BOX_EB].reshape(-1, 3))
                 n_parts.append(bn.reshape(-1, 2, 3))
                 cen3_parts.append(jnp.repeat(bc.mean(1), 12, axis=0))
-            pa_b = jnp.concatenate(pa_parts)[cms_sel]  # [Q2,3]
-            pb_b = jnp.concatenate(pb_parts)[cms_sel]
-            n12b = jnp.concatenate(n_parts)[cms_sel]  # [Q2,2,3]
-            cen3 = jnp.concatenate(cen3_parts)[cms_sel]
+            return (jnp.concatenate(pa_parts),
+                    jnp.concatenate(pb_parts),
+                    jnp.concatenate(n_parts),
+                    jnp.concatenate(cen3_parts))
+
+        seg_bank = _seg_bank() if (Q2 > 0 or GQ2 > 0) else None
+
+        if Q2 > 0:
+            # Rect/box boundary segments seen in CURVED mirrors: one
+            # Alhazen chief solve per sample (_curved_mirror_point_xy).
+            pa_b = seg_bank[0][cms_sel]  # [Q2,3]
+            pb_b = seg_bank[1][cms_sel]
+            n12b = seg_bank[2][cms_sel]  # [Q2,2,3]
+            cen3 = seg_bank[3][cms_sel]
             mq2 = geom.p0[cms_m]
             Rq2 = jnp.abs(geom.radius[cms_m])
             u = jnp.asarray(us)
@@ -1284,22 +1273,11 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
         if GQ2 > 0:
             # Rect/box boundary segments seen THROUGH glass spheres: one
             # refracted chief solve per sample (_glass_point_xy), the
-            # refractive analogue of the Q2 family above.
-            pa_parts, pb_parts, n_parts, cen3_parts = [], [], [], []
-            if R > 0:
-                pa_parts.append(rc.reshape(-1, 3))
-                pb_parts.append(jnp.roll(rc, -1, axis=1).reshape(-1, 3))
-                n_parts.append(jnp.zeros((R * 4, 2, 3), jnp.float32))
-                cen3_parts.append(jnp.repeat(rc.mean(1), 4, axis=0))
-            if B > 0:
-                pa_parts.append(bc[:, _BOX_EA].reshape(-1, 3))
-                pb_parts.append(bc[:, _BOX_EB].reshape(-1, 3))
-                n_parts.append(bn.reshape(-1, 2, 3))
-                cen3_parts.append(jnp.repeat(bc.mean(1), 12, axis=0))
-            pa_b = jnp.concatenate(pa_parts)[gls_sel]  # [GQ2,3]
-            pb_b = jnp.concatenate(pb_parts)[gls_sel]
-            n12b = jnp.concatenate(n_parts)[gls_sel]  # [GQ2,2,3]
-            cen3 = jnp.concatenate(cen3_parts)[gls_sel]
+            # refractive analogue of the Q2 family above (same bank).
+            pa_b = seg_bank[0][gls_sel]  # [GQ2,3]
+            pb_b = seg_bank[1][gls_sel]
+            n12b = seg_bank[2][gls_sel]  # [GQ2,2,3]
+            cen3 = seg_bank[3][gls_sel]
             gg2 = geom.p0[gls_g]
             Rg2 = jnp.abs(geom.radius[gls_g])
             iorg2 = arrays.materials.ior[geom.material[gls_g]]

@@ -269,7 +269,9 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
     around the discrete traversal — ~15% less per-bounce work; values agree
     with the differentiable path to float rounding.
 
-    ``bf16_hits=True`` (sweep and cluster modes; ignored for bvh) computes
+    ``bf16_hits=True`` (sweep mode only; ignored for cluster/bvh — a
+    round-4 cluster bf16 mode was built and REMOVED by measurement, see
+    make_cluster_intersector's docstring) computes
     candidate hit distances of static no-xform sphere tiles in bf16 and
     re-verifies the winner's t in f32 (the recompute runs even when
     ``differentiable=False``), so only WHICH primitive wins carries bf16
@@ -288,8 +290,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         # the runtime arrays (the padded geometry itself is discarded here;
         # only the layout metadata drives tracing).
         _, layout = build_clusters(scene.arrays.geom, static.n_prims)
-        cluster_trace = make_cluster_intersector(static, layout,
-                                                 bf16=bf16_hits)
+        cluster_trace = make_cluster_intersector(static, layout)
         cluster_layout = layout
 
         def trace(geom, bvh, o, d, time, t_min, ray_bits, active,
@@ -318,12 +319,7 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
             # ranged-tile form exists — disable partitioning rather than
             # crash at the first rows= trace.
             part_groups = ()
-    # bf16 candidate hits exist for the sweep AND (since round 4) for
-    # sphere runs of the cluster intersector — the sphere-heavy 30k+
-    # regime is where the isolated 1.4x tile win finally pays end-to-end
-    # (DESIGN.md §14).  The winner recompute below re-verifies t in f32
-    # either way; 'bvh' parity mode stays f32-only.
-    bf16_hits = bf16_hits and mode in ("sweep", "cluster")
+    bf16_hits = bf16_hits and mode == "sweep"
     prim_hit_t = make_prim_intersector(static)
     detail_fn = make_hit_detailer(static)
     w_minus_1 = np.float32(width - 1)

@@ -40,12 +40,28 @@ def test_bf16_image_close_to_f32(name, s, bound):
     assert err < bound, err
 
 
-def test_bf16_flag_is_sweep_only():
-    """cluster/bvh modes ignore the flag (documented no-op, not an error)."""
+def test_bf16_flag_ignored_by_cluster_and_bvh():
+    """cluster/bvh modes ignore the flag (documented no-op, not an
+    error).  A round-4 cluster bf16 mode was built and REMOVED by
+    measurement: a sphere's bf16 discriminant signal scales with
+    (r / viewing distance)^2, and the many-small-spheres scenes cluster
+    mode exists for are exactly where it rounds to zero — on the 598k
+    sphereflake bf16 candidates ran 3.9x faster and silently DELETED
+    whole spheres (mean radiance 1.886 -> 2.349); no build-time gate can
+    know the viewing distance (ops/cluster_sweep.py docstring)."""
     s = dict(width=16, height=10, samples=2, depth=3)
     scene = build_scene("cornell")
     a = render_image(scene, RenderSettings(**s, intersector="bvh"))
     b = render_image(scene, RenderSettings(**s, intersector="bvh",
+                                           bf16_hits=True))
+    np.testing.assert_array_equal(a, b)
+
+    from hyper_ray_tracer_tpu.models.builders import sphereflake
+
+    scene = sphereflake(3, "sphereflake-3")
+    s = dict(width=24, height=14, samples=2, depth=4)
+    a = render_image(scene, RenderSettings(**s, intersector="cluster"))
+    b = render_image(scene, RenderSettings(**s, intersector="cluster",
                                            bf16_hits=True))
     np.testing.assert_array_equal(a, b)
 

@@ -192,14 +192,16 @@ def test_two_level_cluster_equals_sweep(monkeypatch):
 
     monkeypatch.setattr(C, "CLUSTER_TARGET_PRIMS", 16)
     monkeypatch.setattr(CS, "SUPER_MIN_CLUSTERS", 8)
-    monkeypatch.setattr(CS, "SUPER_FANOUT", 4)
+    # Fanout 5 so the 64-cluster run is NOT a multiple of it — the last
+    # super gets NaN-padded member slots, exercising that branch too.
+    monkeypatch.setattr(CS, "SUPER_FANOUT", 5)
 
     scene = sphereflake(3, "sphereflake-3")  # 822 prims -> 64 clusters
     _, lay = build_clusters(scene.arrays.geom, scene.static.n_prims)
-    assert any(r.n_clusters >= CS.SUPER_MIN_CLUSTERS for r in lay.runs), \
-        "test no longer forces the two-level path"
-    # A non-multiple of the fanout exercises the NaN member padding.
-    assert any(r.n_clusters % CS.SUPER_FANOUT for r in lay.runs) or True
+    two = [r for r in lay.runs if r.n_clusters >= CS.SUPER_MIN_CLUSTERS]
+    assert two, "test no longer forces the two-level path"
+    assert any(r.n_clusters % CS.SUPER_FANOUT for r in two), \
+        "test no longer exercises the NaN member padding"
 
     s = dict(width=24, height=14, samples=2, depth=6)
     img_sweep = render_image(scene, RenderSettings(**s, intersector="sweep"))
