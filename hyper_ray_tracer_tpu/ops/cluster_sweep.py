@@ -76,16 +76,40 @@ def make_coherence_key(layout, cell_bits: int = 4):
     wavefront, so a RAY_TILE-lane window overlaps almost every cluster
     (VERDICT r2 weak #3).  The compaction already pays a full lane
     permutation; ordering survivors by this key re-groups them so each
-    tile's working set shrinks: origin Morton cell (over the union of
-    the CLUSTER bounds — the ground sphere would blow up a whole-scene
-    box) in the high bits, direction octant in the low bits.  Position
-    leads because the nearest sub-flake dominates a lane's cluster set;
-    the octant then splits front/back-facing lanes within a cell
-    (ordering measured in tools/prof_coherence.py).  Pure relabeling:
-    per-ray RNG makes the sorted render bit-identical.
+    tile's working set shrinks.  Key = origin Morton cell x direction
+    octant; WHICH leads is measured per layout level (TPU v5e, 400x225x4
+    depth 10, after the outlier-robust cell bounds below):
+
+      66k flake (one-level, 256 clusters):  octant-first 0.466 Mrays/s
+                                            vs cell-first 0.339-0.382
+      598k flake (two-level, 2048 clusters): cell-first 0.153
+                                            vs octant-first 0.133
+
+    One-level tiles visit a modest cluster list where direction grouping
+    buys earlier nearest-first termination; two-level tiles live or die
+    by how few SUPERS they touch, which is a position property.  So:
+    octant-first for one-level layouts, cell-first when any run is
+    two-level.  Pure relabeling either way: per-ray RNG makes the sorted
+    render bit-identical.
     """
-    bmin = np.min([r.cmin.min(0) for r in layout.runs], axis=0)
-    bmax = np.max([r.cmax.max(0) for r in layout.runs], axis=0)
+    octant_leads = not any(r.n_clusters >= SUPER_MIN_CLUSTERS
+                           for r in layout.runs)
+    # Cell bounds from the TYPICAL clusters only: one outlier cluster (a
+    # ground sphere sharing the type run — sphereflake: r=1000 in a
+    # ~6-unit flake) would stretch the Morton grid 300x and collapse all
+    # real geometry into a single cell, silently reducing the sort to its
+    # direction-octant bits (found in round 4: cell_bits had no measured
+    # effect on the 598k flake for exactly this reason).  Keep clusters
+    # whose diagonal is within 8x the median diagonal; pure permutation
+    # either way, so the only effect is sort quality.
+    allmin = np.concatenate([r.cmin for r in layout.runs])
+    allmax = np.concatenate([r.cmax for r in layout.runs])
+    diag = np.linalg.norm(allmax - allmin, axis=-1)
+    keep = diag <= 8.0 * max(float(np.median(diag)), 1e-20)
+    if not keep.any():
+        keep = np.ones_like(keep)
+    bmin = allmin[keep].min(0)
+    bmax = allmax[keep].max(0)
     n_cells = 1 << cell_bits
     scale = np.float32((n_cells - 1e-3) / np.maximum(bmax - bmin, 1e-20))
     bmin = np.float32(bmin)
@@ -101,6 +125,8 @@ def make_coherence_key(layout, cell_bits: int = 4):
         oc = ((d[..., 0] < 0.0).astype(jnp.uint32) * 4
               + (d[..., 1] < 0.0).astype(jnp.uint32) * 2
               + (d[..., 2] < 0.0).astype(jnp.uint32))
+        if octant_leads:
+            return (oc << (3 * cell_bits)) | m
         return (m << 3) | oc
 
     return key
