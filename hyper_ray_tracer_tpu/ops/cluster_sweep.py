@@ -10,19 +10,19 @@ the scan-over-ray-tiles machinery runs *faster* than one monolithic
 broadcast even at equal pair counts, and the win scales linearly with the
 culled fraction):
 
-1. Phase A (dense, batched over all rays): slab-test every ray against
-   every cluster AABB ([N, C] pure VPU math, zero gathers).  Reduce per
-   ray-tile of ``RAY_TILE`` lanes: which clusters does ANY lane overlap,
-   and at what minimum entry t.  Sort each tile's clusters by entry t.
-
-2. Phase B (``lax.scan`` over ray-tiles): each tile first sweeps the small
-   always-on tail (media, lights, feature objects), then runs one dynamic-
-   trip ``lax.while_loop`` per cluster run, visiting only the clusters the
-   tile overlaps, nearest first.  Cluster primitives arrive via a
-   contiguous static-width ``dynamic_slice`` — never a gather.  The loop
-   exits early once the next cluster's entry t lies beyond every lane's
-   current best hit (the vectorised equivalent of the reference's
-   t_max-clamped ordered descent).
+One ``lax.scan`` over ray-tiles of ``RAY_TILE`` lanes; each tile first
+sweeps the small always-on tail (media, lights, feature objects), then —
+per cluster run — slab-tests the tile's lanes against the run's box set
+([tile, C] pure VPU math, zero gathers) and runs one dynamic-trip
+``lax.while_loop`` visiting only the boxes some lane can still improve,
+nearest first.  Cluster primitives arrive via a contiguous static-width
+``dynamic_slice`` — never a gather.  The loop exits early once the next
+cluster's entry t lies beyond every lane's current best hit (the
+vectorised equivalent of the reference's t_max-clamped ordered descent).
+The box test is t_best-aware and PER LANE (``lo < t_best[lane]``,
+_tile_cull): running it inside the tile body, after the tail sweep
+pinned e.g. the ground-sphere hit distance, is what lets miss-bound
+lanes stop forcing visits — the round-4 "lane-granular culling" step.
 
 Correctness notes:
 * Closest-hit semantics match list.rs/bvh_node.rs: a strict ``<`` fold, so
@@ -246,11 +246,42 @@ def make_cluster_intersector(static, layout):
         ok2 = exists & (t_far >= t_min) & (t_far <= t_max)
         return jnp.where(ok1, t_near, jnp.where(ok2, t_far, BIG))
 
-    def _make_run_loop(run, hit_fn, kind):
-        cw = run.width
+    def _tile_cull(bmin, bmax, o_l, inv_l, act_l, t_min, t_best):
+        """Per-tile, t_best-aware box culling: entry t per box, BIG for
+        boxes NO lane can still improve.
 
-        def run_loop(geom, sph, rx, ray_args, t_min, k0, t_best, best):
-            order, count, entry_sorted = rx
+        The per-lane test ``lo < t_best[lane]`` is the lane-granular cull
+        (docs/DESIGN.md §14's "honest next structural step"): a lane that
+        already holds a nearer hit — or a miss-bound lane that simply
+        does not overlap the box — cannot force a visit.  Because t_best
+        only shrinks during the visit loops, a box filtered here can
+        never improve any lane later, so dropping it leaves the strict-<
+        fold's result unchanged (not even exact-t ties move).  Running
+        this INSIDE the tile body (after the always-on tail pinned e.g.
+        the ground-sphere t) is what makes it sharp; the old global
+        Phase A ran before any t_best existed and could only test
+        geometric overlap."""
+        t0 = (bmin[None] - o_l[:, None]) * inv_l[:, None]
+        t1 = (bmax[None] - o_l[:, None]) * inv_l[:, None]
+        lo = jnp.minimum(t0, t1).max(-1)
+        hi = jnp.maximum(t0, t1).min(-1)
+        hit = ((hi > jnp.maximum(lo, t_min)) & (lo < t_best[:, None])
+               & act_l[:, None])
+        entry = jnp.where(hit, lo, BIG).min(0)  # [C]
+        order = jnp.argsort(entry).astype(jnp.int32)
+        entry_sorted = jnp.sort(entry)
+        count = (entry_sorted < jnp.float32(0.5) * BIG).sum(
+            dtype=jnp.int32)
+        return order, count, entry_sorted
+
+    def _make_run_loop(run, hit_fn, cb, kind):
+        cw = run.width
+        cmin, cmax = cb
+
+        def run_loop(geom, sph, ray_args, t_min, k0, t_best, best):
+            o_l, inv_l, act_l = ray_args[4:7]
+            order, count, entry_sorted = _tile_cull(
+                cmin, cmax, o_l, inv_l, act_l, t_min, t_best)
 
             def cond(carry):
                 k, t_best, _ = carry
@@ -273,21 +304,24 @@ def make_cluster_intersector(static, layout):
 
         return run_loop
 
-    def _make_run_loop2(run, hit_fn, mb, kind):
+    def _make_run_loop2(run, hit_fn, sb, mb, kind):
         """Two-level visit loop: outer over SUPER-clusters nearest-first,
         inner over each super's member clusters nearest-first.  Pure
-        pruning — a super (or member) is skipped only when its slab entry
-        lies beyond every lane's current best, which cannot change any
-        lane's strict-< closest-hit fold; visit ORDER differs from the
-        flat sorted order only across supers, which affects exact-t ties
-        alone (image-equivalent, see module docstring)."""
+        pruning — a super (or member) is skipped only when no lane's
+        current best can still be improved by it (lane-granular, see
+        _tile_cull), which cannot change any lane's strict-< closest-hit
+        fold; visit ORDER differs from the flat sorted order only across
+        supers, which affects exact-t ties alone (image-equivalent, see
+        module docstring)."""
         cw = run.width
+        smin, smax = sb
         mmin, mmax = mb
         F = SUPER_FANOUT
 
-        def run_loop(geom, sph, rx, ray_args, t_min, k0, t_best, best):
-            order_s, count_s, entry_s = rx
+        def run_loop(geom, sph, ray_args, t_min, k0, t_best, best):
             o_l, inv_l, act_l = ray_args[4:7]
+            order_s, count_s, entry_s = _tile_cull(
+                smin, smax, o_l, inv_l, act_l, t_min, t_best)
 
             def cond_s(carry):
                 k, t_best, _ = carry
@@ -336,9 +370,11 @@ def make_cluster_intersector(static, layout):
 
     run_kinds = ["sphere" if sph else "f32" for sph in run_sphere]
     run_loops = [
-        _make_run_loop2(r, fn, mb, kd) if two else _make_run_loop(r, fn, kd)
-        for r, fn, two, mb, kd in zip(layout.runs, run_fns, two_level,
-                                      member_bounds, run_kinds)
+        _make_run_loop2(r, fn, sb, mb, kd) if two
+        else _make_run_loop(r, fn, cb, kd)
+        for r, fn, two, cb, sb, mb, kd in zip(
+            layout.runs, run_fns, two_level, cluster_bounds,
+            super_bounds, member_bounds, run_kinds)
     ]
     any_sphere = any(k != "f32" for k in run_kinds)
 
@@ -361,61 +397,19 @@ def make_cluster_intersector(static, layout):
             ray_bits = pad(ray_bits, 0)
             active = pad(active, False)
 
-        # ---- Phase A: cluster slab tests + per-tile sort.  Two-level
-        # runs test SUPER-cluster boxes here ([.., S], S = C/64); their
-        # member clusters resolve inside the visit loop (run_loop2).  Two
-        # forms of the same math: DENSE ([N, C] in one shot — fastest
-        # while the transient fits comfortably) and PER-TILE (a lax.map
-        # over ray tiles, [tile, C] transients) for the big-C regime —
-        # the dense form at 360k rays x 4096 boxes would materialise
-        # multi-GB arrays.
-        phase_bounds = [sb if two else cb
-                        for cb, sb, two in zip(cluster_bounds, super_bounds,
-                                               two_level)]
-        c_total = sum(cm.shape[0] for cm, _ in phase_bounds)
-        dense_a = n_pad * max(c_total, 1) <= (1 << 28)
-
-        def _phase_a(args):
-            o_l, d_l, act_l = args  # [tile(s), 3] / [tile(s)]
-            inv = 1.0 / d_l
-            outs = []
-            for (cmin, cmax) in phase_bounds:
-                t0 = (cmin[None] - o_l[:, None]) * inv[:, None]
-                t1 = (cmax[None] - o_l[:, None]) * inv[:, None]
-                lo = jnp.minimum(t0, t1).max(-1)
-                hi = jnp.maximum(t0, t1).min(-1)
-                hit = (hi > jnp.maximum(lo, t_min)) & act_l[:, None]
-                outs.append(jnp.where(hit, lo, BIG))  # [tile(s), C or S]
-            return tuple(outs)
-
-        if dense_a:
-            entries_n = _phase_a((o, d, active))  # [N, C] per run
-            tile_entries = tuple(
-                e.reshape(t_tiles, tile, -1).min(1) for e in entries_n)
-        else:
-            def _tile_a(args):
-                return tuple(e.min(0) for e in _phase_a(args))
-
-            tile_entries = jax.lax.map(_tile_a, (
-                o.reshape(t_tiles, tile, 3),
-                d.reshape(t_tiles, tile, 3),
-                active.reshape(t_tiles, tile),
-            ))
-        run_xs = []
-        for tile_entry in tile_entries:  # [T, C] per run
-            order = jnp.argsort(tile_entry, axis=1).astype(jnp.int32)
-            entry_sorted = jnp.take_along_axis(tile_entry, order, axis=1)
-            count = (entry_sorted < jnp.float32(0.5) * BIG).sum(
-                1, dtype=jnp.int32)
-            run_xs.append((order, count, entry_sorted))
-
+        # Box culling happens INSIDE the tile body (per run, after the
+        # always-on tail and any preceding runs tightened t_best), so the
+        # per-lane ``lo < t_best`` test is live — see _tile_cull.  The old
+        # global Phase A (a dense [N, C] slab pass before the scan) knew
+        # no t_best and culled on geometric overlap alone: on the 598k
+        # flake ~55% of post-bounce-0 lanes are miss-bound and forced
+        # every overlapped super to be visited (docs/DESIGN.md §14).
         xs = (
             o.reshape(t_tiles, tile, 3),
             d.reshape(t_tiles, tile, 3),
             time.reshape(t_tiles, tile),
             ray_bits.reshape(t_tiles, tile),
             active.reshape(t_tiles, tile),
-            tuple(run_xs),
         )
 
         # Packed static-sphere matrix for the fast visit path (loop-
@@ -427,7 +421,7 @@ def make_cluster_intersector(static, layout):
 
         # ---- Phase B: per-tile culled sweeps.
         def tile_body(_, xs_t):
-            o_l, d_l, time_l, bits_l, act_l, rxs = xs_t
+            o_l, d_l, time_l, bits_l, act_l = xs_t
             o_b = o_l[:, None, :]
             d_b = d_l[:, None, :]
             time_b = time_l[:, None]
@@ -451,8 +445,8 @@ def make_cluster_intersector(static, layout):
                        bits_b, jnp)
                 t_best, best = _fold(s, t, t_best, best)
 
-            for loop, rx in zip(run_loops, rxs):
-                t_best, best = loop(geom, sph, rx, ray_args, t_min, k0,
+            for loop in run_loops:
+                t_best, best = loop(geom, sph, ray_args, t_min, k0,
                                     t_best, best)
             return None, (t_best, best)
 

@@ -83,10 +83,13 @@ def _perm8(x, k1, k2):
     return x
 
 
-def _grad(h, gseed, xp):
-    """Gradient vector for lattice hash ``h``: normalize(uniform(-1,1)^3),
-    the reference's cube-corner-biased distribution (perlin_noise.rs:26-34),
-    with the three uniforms drawn from ARX hashes of (h, axis)."""
+def _grad_xyz(h, gseed, xp):
+    """Gradient components for lattice hash ``h`` as three separate
+    arrays: normalize(uniform(-1,1)^3), the reference's cube-corner-biased
+    distribution (perlin_noise.rs:26-34), with the three uniforms drawn
+    from ARX hashes of (h, axis).  Component form (no trailing size-3
+    axis) keeps every intermediate in the natural (sublane, lane) layout —
+    required inside Pallas kernels, harmless under plain XLA."""
     with np.errstate(over="ignore"):
         h32 = h.astype(_U32)
         # Spread the 8 lattice bits across the word before mixing.
@@ -97,9 +100,17 @@ def _grad(h, gseed, xp):
         bits = _mix32(hh ^ salt)
         u = bits.astype(np.float32) * np.float32(2.0 ** -32)
         comps.append(2.0 * u - 1.0)
-    v = xp.stack(comps, axis=-1)
-    inv = 1.0 / xp.sqrt(xp.maximum((v * v).sum(-1), 1e-12))
-    return v * inv[..., None]
+    gx, gy, gz = comps
+    inv = 1.0 / xp.sqrt(xp.maximum(gx * gx + gy * gy + gz * gz, 1e-12))
+    return gx * inv, gy * inv, gz * inv
+
+
+def _grad(h, gseed, xp):
+    """Stacked-form ``_grad_xyz`` ([..., 3]); kept for make_tables and the
+    stacked turbulence path (values identical: the sum over a 3-long axis
+    reduces left-to-right, exactly the component expression)."""
+    gx, gy, gz = _grad_xyz(h, gseed, xp)
+    return xp.stack([gx, gy, gz], axis=-1)
 
 
 class PerlinKeys(NamedTuple):
@@ -239,5 +250,64 @@ def turbulence(tables: PerlinTables, point, xp,
     acc = None
     for k in range(depth):
         term = np.float32(0.5 ** k) * noise_k[..., k]
+        acc = term if acc is None else acc + term
+    return xp.abs(acc)
+
+
+def _noise_xyz(keys: PerlinKeys, x, y, z, xp):
+    """One-octave gradient noise on separate coordinate arrays.
+
+    Per-lane math identical to one ``turbulence`` octave (same hash
+    rounds, same corner order, same left-to-right reductions); component
+    form so every intermediate keeps the input's 2-D layout — the shape
+    Pallas TPU kernels require (no trailing size-3/size-depth axes)."""
+    fx, fy, fz = xp.floor(x), xp.floor(y), xp.floor(z)
+    ix = fx.astype(np.int32)
+    iy = fy.astype(np.int32)
+    iz = fz.astype(np.int32)
+    ux, uy, uz = x - fx, y - fy, z - fz
+    sx = ux * ux * (3.0 - 2.0 * ux)  # smoothed (perlin_noise.rs:105-107)
+    sy = uy * uy * (3.0 - 2.0 * uy)
+    sz = uz * uz * (3.0 - 2.0 * uz)
+
+    def axis_perms(i, k1, k2):
+        lo = (i & _MASK8).astype(_U32)
+        hi = ((i + 1) & _MASK8).astype(_U32)
+        return _perm8(lo, k1, k2), _perm8(hi, k1, k2)
+
+    px = axis_perms(ix, keys.kx1, keys.kx2)
+    py = axis_perms(iy, keys.ky1, keys.ky2)
+    pz = axis_perms(iz, keys.kz1, keys.kz2)
+
+    acc = None
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                gx, gy, gz = _grad_xyz(px[dx] ^ py[dy] ^ pz[dz],
+                                       keys.gseed, xp)
+                wv_dot = (gx * (sx - dx) + gy * (sy - dy)
+                          + gz * (sz - dz))
+                lerp_w = (
+                    (dx * sx + (1 - dx) * (1.0 - sx))
+                    * (dy * sy + (1 - dy) * (1.0 - sy))
+                    * (dz * sz + (1 - dz) * (1.0 - sz))
+                )
+                term = lerp_w * wv_dot
+                acc = term if acc is None else acc + term
+    return acc
+
+
+def turbulence_xyz(keys: PerlinKeys, x, y, z, xp,
+                   depth: int = TURBULENCE_DEPTH):
+    """``turbulence`` on separate coordinate arrays with the octave axis
+    unrolled: per-lane values match ``turbulence`` exactly (same hash
+    math, corner order, and octave accumulation order), but no
+    [..., depth, 3] intermediates exist — the form a Pallas TPU kernel
+    body can evaluate on (sublane, lane)-shaped blocks."""
+    acc = None
+    for k in range(depth):
+        sc = np.float32(2.0 ** k)
+        nk = _noise_xyz(keys, x * sc, y * sc, z * sc, xp)
+        term = np.float32(0.5 ** k) * nk
         acc = term if acc is None else acc + term
     return xp.abs(acc)
