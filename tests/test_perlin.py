@@ -78,3 +78,17 @@ def test_numpy_jax_agree():
     ta = perlin.turbulence(t, pts, np)
     tb = perlin.turbulence(t, jnp.asarray(pts), jnp)
     np.testing.assert_allclose(ta, np.asarray(tb), atol=1e-5)
+
+
+def test_turbulence_xyz_bit_identical():
+    """The component-form turbulence (Pallas-kernel-shaped: no
+    [..., depth, 3] intermediates) must be BIT-identical to the stacked
+    form — same hash rounds, corner order, and octave accumulation."""
+    t = perlin.make_tables(7)
+    pts = np.random.default_rng(9).uniform(-30, 30, (2048, 3)).astype(
+        np.float32)
+    a = perlin.turbulence(t, jnp.asarray(pts), jnp)
+    b = perlin.turbulence_xyz(t.keys, jnp.asarray(pts[:, 0]),
+                              jnp.asarray(pts[:, 1]),
+                              jnp.asarray(pts[:, 2]), jnp)
+    assert bool((np.asarray(a) == np.asarray(b)).all())
