@@ -69,7 +69,18 @@ SUPER_MIN_CLUSTERS = 512
 SUPER_FANOUT = 64
 
 
-def make_coherence_key(layout, cell_bits: int = 4):
+def _super_bounds_np(r):
+    """Blockwise super-cluster AABBs of a run ([S,3] min/max, f32): the
+    recursive median split emits clusters in spatial DFS order, so
+    consecutive SUPER_FANOUT blocks are already compact."""
+    F = SUPER_FANOUT
+    S = -(-r.n_clusters // F)
+    smin = np.stack([r.cmin[s * F:(s + 1) * F].min(0) for s in range(S)])
+    smax = np.stack([r.cmax[s * F:(s + 1) * F].max(0) for s in range(S)])
+    return smin.astype(np.float32), smax.astype(np.float32)
+
+
+def make_coherence_key(layout, cell_bits: int = 4, scheme: str = None):
     """Build key(o, d) -> uint32 coherence sort key for compaction.
 
     Secondary bounces scatter ray origins/directions across the packed
@@ -92,8 +103,48 @@ def make_coherence_key(layout, cell_bits: int = 4):
     two-level.  Pure relabeling either way: per-ray RNG makes the sorted
     render bit-identical.
     """
+    two_runs = [r for r in layout.runs
+                if r.n_clusters >= SUPER_MIN_CLUSTERS]
+    if scheme is None:
+        scheme = "octant-cell"
+    if scheme == "super" and two_runs:
+        # Nearest-super key: group survivors by WHICH super-cluster box
+        # their ray enters first (the largest two-level run's supers —
+        # the boxes the visit loop actually walks), then by direction
+        # octant, then Morton cell.  Keying on the working set itself
+        # SOUNDED sharper than the Morton-cell proxy, but measured 6%
+        # SLOWER on the 598k flake (0.148 vs 0.158 Mrays/s): the sid
+        # order scatters lanes relative to launch order and the
+        # compaction's row gathers pay the locality cliff
+        # prof_compact.py measured — the same failure mode as the
+        # round-4 super-overlap-mask sort, in milder form.  Kept as an
+        # opt-in scheme for future retuning; NOT the default.  Still a
+        # pure permutation: renders stay bit-identical.
+        big_run = max(two_runs, key=lambda r: r.n_clusters)
+        smin, smax = (jnp.asarray(b) for b in _super_bounds_np(big_run))
+        S = smin.shape[0]
+        sub = make_coherence_key(layout, cell_bits=3, scheme="octant-cell")
+
+        def key(o, d):
+            inv = 1.0 / d
+            t0 = (smin[None] - o[:, None]) * inv[:, None]
+            t1 = (smax[None] - o[:, None]) * inv[:, None]
+            lo = jnp.minimum(t0, t1).max(-1)
+            hi = jnp.maximum(t0, t1).min(-1)
+            hit = hi > jnp.maximum(lo, jnp.float32(1e-3))
+            entry = jnp.where(hit, lo, BIG)
+            sid = jnp.argmin(entry, axis=1).astype(jnp.uint32)
+            sid = jnp.where(hit.any(1), sid, jnp.uint32(S))
+            return (sid << 12) | sub(o, d)  # sub: 3*3 cell + 3 octant
+
+        return key
+
     octant_leads = not any(r.n_clusters >= SUPER_MIN_CLUSTERS
                            for r in layout.runs)
+    if scheme == "octant-first":
+        octant_leads = True
+    elif scheme == "cell-first":
+        octant_leads = False
     # Cell bounds from the TYPICAL clusters only: one outlier cluster (a
     # ground sphere sharing the type run — sphereflake: r=1000 in a
     # ~6-unit flake) would stretch the Morton grid 300x and collapse all
