@@ -118,14 +118,18 @@ disk — the remainder is second-order paths, see scope).
 
 Scope (documented limitations):
 * Double reflections (mirror seen in mirror) are not reflected again.
-* Glass: one refractive traversal (entry + exit) of ONE positive-radius
-  dielectric sphere.  Not covered: hollow-shell pairs (4 interfaces —
-  the detector skips scenes' negative-radius inners AND their outers
-  keep only the outer-surface family), internal Fresnel-reflection
-  images (T*R*T paths), the EXTERNAL Fresnel mirror image off the
-  glass surface (~4% reflectance at normal incidence), and
-  glass-behind-glass chains.  These are the measured ~18%-of-FD
-  remainder on the rig's full-disk window.
+* Glass: ONE positive-radius dielectric sphere, three path families —
+  the T*T double refraction, the EXTERNAL Fresnel mirror image (the
+  glass surface reflects ~4-10% Schlick, dielectric.rs:47-50; glass
+  spheres simply join the curved-mirror bender set, the probes
+  self-gate the magnitude), and the first internal Fresnel-reflection
+  image (T*R*T, ``_glass_trt_exit_ray`` — same chief+tangency solve on
+  a different optical path).  Not covered: hollow-shell pairs (4
+  interfaces — the detector skips scenes' negative-radius inners AND
+  their outers keep only the outer-surface families), T*R^k*T for
+  k >= 2, and glass-behind-glass chains.  The reference never builds a
+  hollow shell (no negative radius anywhere in application.rs), so the
+  remaining scope is beyond-reference geometry only.
 * Media boundaries have no radiance discontinuity (smooth free-flight
   attenuation), so constant-medium primitives need no edge term.
 """
@@ -338,7 +342,31 @@ def _glass_exit_ray(E, m, R, ior, u):
     return x1, x2, _normize(v3), tir
 
 
-def _glass_chief(E, m, R, ior, c, n_newton: int = 8):
+def _glass_trt_exit_ray(E, m, R, ior, u):
+    """T*R*T exit ray: entry refraction, chord, INTERNAL Fresnel
+    reflection at the far surface, second chord, exit refraction —
+    the first internal-reflection image family (dielectric.rs:47-50
+    samples the reflective branch with probability reflectance(), so
+    these paths carry ~R(theta) of the transmitted radiance).  Same
+    return convention as ``_glass_exit_ray``: (x1, x_exit, v_out, tir),
+    all smooth jnp math."""
+    x1 = m + R * u
+    v1 = _normize(x1 - E)
+    v2, _ = _refract_unit(v1, u, 1.0 / ior)  # entry: normal = +u
+    v2 = _normize(v2)
+    t2 = -2.0 * R * (v2 * u).sum()
+    x2 = x1 + t2 * v2
+    n2 = (x2 - m) / R  # outward normal at the far surface
+    vr = v2 - 2.0 * (v2 * n2).sum() * n2  # internal mirror bounce
+    t3 = -2.0 * R * (vr * n2).sum()  # chord back across the ball
+    x3 = x2 + t3 * vr
+    n3 = (x3 - m) / R
+    v4, tir = _refract_unit(vr, -n3, ior)
+    return x1, x3, _normize(v4), tir
+
+
+def _glass_chief(E, m, R, ior, c, n_newton: int = 8,
+                 exit_fn=None):
     """Entry direction u0 of the CHIEF refracted path E -> glass sphere
     (m, R, ior) -> target ``c`` (the refracted image of c), plus the
     in-plane frame: the refractive analogue of ``_alhazen_chief``.
@@ -351,7 +379,14 @@ def _glass_chief(E, m, R, ior, c, n_newton: int = 8):
     usually sits on the OPPOSITE side of the axis from the target, and
     the residual is far from monotone — the seed is therefore a coarse
     sign-aware grid scan over psi in (-pi/2, pi/2) (stop-gradient; the
-    Newton polish carries all the derivatives)."""
+    Newton polish carries all the derivatives).
+
+    ``exit_fn``: the through-the-ball ray map (default ``_glass_exit_
+    ray``, the T*T double refraction; ``_glass_trt_exit_ray`` gives
+    the internal-reflection T*R*T family - same solve, different
+    optical path)."""
+    if exit_fn is None:
+        exit_fn = _glass_exit_ray
     a_e = _normize(E - m)
     cm = c - m
     b_raw = cm - (cm * a_e).sum() * a_e
@@ -365,7 +400,7 @@ def _glass_chief(E, m, R, ior, c, n_newton: int = 8):
 
     def residual(psi):
         u = jnp.cos(psi) * a_e + jnp.sin(psi) * b_e
-        _, x2, v3, _ = _glass_exit_ray(E, m, R, ior, u)
+        _, x2, v3, _ = exit_fn(E, m, R, ior, u)
         to_c = _normize(c - x2)
         return (v3 * b_e).sum() * (to_c * a_e).sum() \
             - (v3 * a_e).sum() * (to_c * b_e).sum()
@@ -403,7 +438,7 @@ def _glass_point_xy(off, m, R, ior, p, basis, W, H, n_newton: int = 8):
 
 
 def _glass_sphere_xy(off, m, R, ior, c, r, phi, basis, W, H,
-                     n_chief: int = 8, n_newton: int = 8):
+                     n_chief: int = 8, n_newton: int = 8, exit_fn=None):
     """Image point [2] of the refracted silhouette of source sphere
     (c, r) seen THROUGH the glass sphere (m, R, ior) from lens point
     origin+off, at curve parameter ``phi`` — plus validity.
@@ -418,8 +453,10 @@ def _glass_sphere_xy(off, m, R, ior, c, r, phi, basis, W, H,
     convergence); TIR / diverged / inside-the-glass configurations are
     masked, and partial occlusion self-gates through the probes (dL~0)
     exactly like every other family."""
+    if exit_fn is None:
+        exit_fn = _glass_exit_ray
     E = basis.origin + off
-    u0, a_e, b_e = _glass_chief(E, m, R, ior, c, n_chief)
+    u0, a_e, b_e = _glass_chief(E, m, R, ior, c, n_chief, exit_fn=exit_fn)
 
     e1 = _normize(jnp.cross(u0, a_e) + 1e-12 * b_e)
     e2 = jnp.cross(u0, e1)
@@ -427,7 +464,7 @@ def _glass_sphere_xy(off, m, R, ior, c, r, phi, basis, W, H,
 
     def tangency(theta):
         u = _normize(jnp.cos(theta) * u0 + jnp.sin(theta) * tdir)
-        x1, x2, v3, tir = _glass_exit_ray(E, m, R, ior, u)
+        x1, x2, v3, tir = exit_fn(E, m, R, ior, u)
         q = c - x2
         t_c = (q * v3).sum()
         d2 = (q * q).sum() - t_c * t_c
@@ -679,7 +716,9 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                                glass_sphere_ids=None,
                                mirror_pairs_max: int = 64,
                                n_edge: int = 64, n_seg: int = 16,
-                               n_probe: int = 2, eps: float = 0.35):
+                               n_probe: int = 2, eps: float = 0.35,
+                               glass_fresnel_mirror: bool = True,
+                               glass_trt: bool = True):
     """Build correction(arrays, bvh, basis, seed) -> [W*H, 3].
 
     Zero in the primal; its tangent w.r.t. arrays.geom.p0 / .p1 / .radius
@@ -739,7 +778,23 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
     # source first (host-side, baked build positions).
     pairs_m, pairs_s = [], []
     g_host = scene.arrays.geom
-    for ms in mirror_sphere_ids:
+    # External-Fresnel mirrors: a glass sphere's SURFACE also reflects
+    # (Schlick, ~4-10% off-normal — dielectric.rs:47-50 samples that
+    # branch with probability reflectance()), so every source silhouette
+    # has a reflected image ON the glass, exactly the curved-mirror
+    # geometry.  The probes self-gate the magnitude (they measure the
+    # actual Fresnel-weighted radiance step across the curve), so glass
+    # spheres simply join the curved-mirror bender set.  Benders the
+    # camera sits INSIDE (e.g. a whole-scene dielectric boundary) are
+    # skipped host-side — every sample would fail the front test anyway.
+    cam_o = np.asarray(scene.camera.look_from, np.float64)
+    _gl_out = [int(g) for g in glass_sphere_ids
+               if glass_fresnel_mirror
+               and np.linalg.norm(np.asarray(g_host.p0)[int(g)] - cam_o)
+               > abs(float(np.asarray(g_host.radius)[int(g)])) * 1.001]
+    refl_bender_ids = np.concatenate(
+        [mirror_sphere_ids, np.asarray(_gl_out, np.int32)])
+    for ms in refl_bender_ids:
         srcs = sphere_ids[sphere_ids != ms]
         if srcs.size == 0:
             continue
@@ -809,7 +864,7 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                 bsel.extend(int(v) for v in keep)
         return np.asarray(bm, np.int32), np.asarray(bsel, np.int32)
 
-    cms_m, cms_sel = _rank_segments(mirror_sphere_ids)
+    cms_m, cms_sel = _rank_segments(refl_bender_ids)
     Q2 = int(cms_m.shape[0])
     gls_g, gls_sel = _rank_segments(glass_sphere_ids)
     GQ2 = int(gls_g.shape[0])
@@ -856,6 +911,7 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
     disk_q2 = _disk(Q2, E2, 4.0) * _lr  # [Q2,E2,2]
     disk_g = _disk(GQ, E, 5.0) * _lr  # [GQ,E,2]
     disk_g2 = _disk(GQ2, E2, 6.0) * _lr  # [GQ2,E2,2]
+    disk_g3 = _disk(GQ, E, 7.0) * _lr  # [GQ,E,2] (T*R*T family)
     tfracs_q = np.mod((np.arange(E, dtype=np.float64) + 0.5) / E
                       + 0.6180339887 * np.arange(max(Q, 1))[:, None],
                       1.0).astype(np.float32)
@@ -900,6 +956,21 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
         jax.vmap(jax.jacfwd(
             lambda off, gc, gr, ior, c, r, p, b:
             _glass_sphere_xy(off, gc, gr, ior, c, r, p, b, W, H)[0],
+            argnums=6),
+            in_axes=(0, None, None, None, 0, None, 0, None)),
+        in_axes=(0, 0, 0, 0, 0, 0, None, None))
+
+    gl_trt_xy_fn = jax.vmap(
+        jax.vmap(lambda off, gc, gr, ior, c, r, p, b:
+                 _glass_sphere_xy(off, gc, gr, ior, c, r, p, b, W, H,
+                                  exit_fn=_glass_trt_exit_ray),
+                 in_axes=(0, None, None, None, 0, None, 0, None)),
+        in_axes=(0, 0, 0, 0, 0, 0, None, None))
+    gl_trt_tan_fn = jax.vmap(
+        jax.vmap(jax.jacfwd(
+            lambda off, gc, gr, ior, c, r, p, b:
+            _glass_sphere_xy(off, gc, gr, ior, c, r, p, b, W, H,
+                             exit_fn=_glass_trt_exit_ray)[0],
             argnums=6),
             in_axes=(0, None, None, None, 0, None, 0, None)),
         in_axes=(0, 0, 0, 0, 0, 0, None, None))
@@ -1134,6 +1205,28 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
             parts.append(_finish_part(xy, tau, cen, okg))
             times.append(ttg.reshape(-1))
             offsets.append(off_g2.reshape(-1, 3))
+
+        if GQ > 0 and glass_trt:
+            # Internal-Fresnel (T*R*T) silhouettes: the same (glass,
+            # source) pairs, solved with the internal-reflection exit ray
+            # (_glass_trt_exit_ray).  dielectric.rs:47-50 routes
+            # reflectance(cos, ratio) of the interior flux into this
+            # branch, so the image carries a genuine radiance step; the
+            # probes measure it directly (self-gated magnitude, like
+            # every family).
+            off_g3 = _lens_offsets(jnp.asarray(disk_g3))
+            xy, okg = gl_trt_xy_fn(off_g3, gg, Rg, iorg, cg, rg, phi,
+                                   basis)
+            tau = gl_trt_tan_fn(off_g3, gg, Rg, iorg, cg, rg, phi,
+                                basis) * (_TWO_PI / E)
+            okg3 = okg[..., None]
+            xy = jnp.where(okg3, xy, 0.0)  # sanitize diverged lanes
+            tau = jnp.where(sg(okg3), sg(tau), 1.0)
+            wsum = jnp.maximum(sg(okg3).sum(1, keepdims=True), 1)
+            cen = sg(xy).sum(1, keepdims=True) / wsum
+            parts.append(_finish_part(xy, tau, cen, okg))
+            times.append(ttg.reshape(-1))
+            offsets.append(off_g3.reshape(-1, 3))
 
         segA = []
         segB = []

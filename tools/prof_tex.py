@@ -68,7 +68,11 @@ def timeit(fn, reps=3):
 
 def make_pallas_turb(keys, block_rows: int):
     """[N] block-sparse marble: skip (block_rows, 128) tiles with no
-    noise lane.  Inputs padded/reshaped to [rows, 128]."""
+    noise lane.  Inputs padded/reshaped to [rows, 128].
+
+    Pallas kernels may not capture traced constants; the perlin hash
+    keys are baked in as Python ints (they fold to scalar literals)."""
+    keys = perlin.PerlinKeys(*(np.uint32(int(k)) for k in keys))
 
     def kernel(m_ref, x_ref, y_ref, z_ref, out_ref):
         hit = jnp.any(m_ref[:] != 0)
