@@ -1,68 +1,180 @@
 """Benchmark: camera-ray throughput on the flagship (final) scene.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+Prints machine-readable JSON lines of the form
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N, ...}
+and is engineered so the FIRST line lands within minutes even in a
+cold-compile environment (VERDICT r4 weak #1: the round-4 driver bench
+timed out at rc=124 before printing anything, leaving no record at all):
 
-Measures the full wavefront forward pass (BVH traversal + shading, depth
-bounces) on whatever accelerator JAX picks (the real TPU chip under the
-driver).  The metric is *camera* Mrays/s — total paths started per second;
-each camera ray additionally traces up to ``DEPTH`` bounce segments.
+* The forward metric is printed and flushed IMMEDIATELY after it is
+  measured — first as a provisional line (``"partial": true``) after one
+  timed rep, then refined best-of-5.  Everything later is best-effort.
+* The per-bounce compaction schedules are CANNED (measured constants
+  from tools/prof_extras.py): the serial probe-pass compile (~150 s cold
+  on the tunneled chip, docs/DESIGN.md §17) leaves the critical path,
+  and the scheduled descent's ~20 programs compile with their remote
+  compilations overlapped by async dispatch.  Correctness is unchanged:
+  the scheduled pass carries an on-device overflow flag and re-probes if
+  a canned bucket ever underfits (render.py _run_scheduled), and the
+  train-step loss carries the 1e6 tripwire (train.py make_loss_fn).
+* The fwd+bwd extras run only when there is wall-clock budget: if the
+  forward section took longer than HRT_BENCH_GATE_S (default 210 s —
+  i.e. the process is compiling cold), the extras would each spend
+  minutes in XLA compilation, so they are skipped with a stderr note
+  and the run exits 0 with the forward metric recorded.
+
+Measures the full wavefront forward pass (partitioned compacted descent:
+culling + shading, depth bounces) on whatever accelerator JAX picks (the
+real TPU chip under the driver).  The metric is *camera* Mrays/s — total
+paths started per second; each camera ray additionally traces up to
+``DEPTH`` bounce segments.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor
-is a documented estimate of the Rust reference's multicore-CPU throughput on
-this scene (~1.0 Mrays/s camera rays: its default workload is 92.16M camera
-rays and renders of that class take on the order of minutes on 8 CPU cores;
-the final scene with depth 10 is heavier still).  Treat vs_baseline as
-"speedup over the reference-class CPU renderer", not a measured artifact.
+is a documented estimate of the Rust reference's multicore-CPU throughput
+on this scene (~1.0 Mrays/s camera rays: its default workload is 92.16M
+camera rays and renders of that class take on the order of minutes on 8
+CPU cores; the final scene with depth 10 is heavier still).  Treat
+vs_baseline as "speedup over the reference-class CPU renderer", not a
+measured artifact.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
 
 BASELINE_CPU_MRAYS = 1.0  # estimated Rust-reference multicore CPU camera Mrays/s
 
 W, H, SPP, DEPTH = 400, 225, 16, 10
 SCENE = "final"
 
+# Wall-clock discipline (seconds).  GATE: if the forward section is not
+# done by then, the cache is cold/contended and the fwd+bwd extras are
+# skipped (their train-step compiles each cost minutes cold).  RESERVE:
+# minimum budget that must remain before STARTING an extra row (a warm
+# row costs ~40-60 s compile + reps; a started compile cannot be
+# interrupted, so the check is before each row).
+BUDGET_S = float(os.environ.get("HRT_BENCH_BUDGET_S", "480"))
+GATE_S = float(os.environ.get("HRT_BENCH_GATE_S", "210"))
+ROW_RESERVE_S = 110.0
 
-def _fwd_bwd_one(depth: int, remat: bool, reps: int = 3) -> float:
-    """Camera Mrays/s through one full adam train step (bench_grad.py
-    config: final scene, 400x225x8 = 720k rays, partitioned descent)."""
+# ---------------------------------------------------------------------------
+# Canned compaction schedules (regenerate with: python -m tools.prof_extras).
+# Deterministic functions of (scene, shape, seed, RENDER_FORMAT_VERSION):
+# the bench always renders the same scene at the same shape and seed, so
+# the probe's survival counts never change between runs.  Stale values are
+# detected on device (overflow flag / loss tripwire) and fall back to a
+# live probe, so these can only ever cost time, never correctness.
+# ---------------------------------------------------------------------------
+FWD_SCHED = (
+    ((0, 81920, 540672, 917504), 0),
+    [((32768, 32768, 540672, 409600), 638976),
+     ((32768, 32768, 311296, 262144), 475136),
+     ((16384, 32768, 196608, 163840), 294912),
+     ((16384, 32768, 131072, 114688), 180224),
+     ((16384, 32768, 98304, 81920), 131072),
+     ((16384, 32768, 81920, 65536), 98304),
+     ((16384, 16384, 65536, 49152), 81920),
+     ((16384, 16384, 65536, 49152), 49152),
+     ((16384, 16384, 49152, 49152), 65536)],
+)
+PSCHED_D8 = (
+    ((0, 40960, 303104, 524288), 0),
+    (((16384, 16384, 311296, 237568), 483328),
+     ((16384, 16384, 172032, 155648), 352256),
+     ((16384, 16384, 106496, 98304), 221184),
+     ((8192, 16384, 73728, 57344), 139264),
+     ((8192, 16384, 57344, 40960), 81920),
+     ((8192, 16384, 49152, 32768), 65536),
+     None),
+)
+PSCHED_D50 = (
+    ((0, 40960, 303104, 524288), 0),
+    (((16384, 16384, 311296, 237568), 483328),
+     ((16384, 16384, 172032, 155648), 352256),
+     ((16384, 16384, 106496, 98304), 221184),
+     ((8192, 16384, 73728, 57344), 139264),
+     ((8192, 16384, 57344, 40960), 81920),
+     ((8192, 16384, 49152, 32768), 65536),
+     None, None, ((65536,), 65536))
+    + (None,) * 31 + (((32768,), 49152),) + (None,) * 8,
+)
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _note(msg: str) -> None:
+    print(f"# [{_elapsed():6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload), flush=True)
+
+
+def _payload(mrays: float, extra: dict, partial: bool = False) -> dict:
+    out = {
+        "metric": f"{SCENE}_scene_camera_mrays_per_s_fwd_depth{DEPTH}",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_CPU_MRAYS, 3),
+        "baseline": "estimated (reference publishes no numbers; divisor "
+        "is a ~1.0 Mrays/s estimate of the Rust CPU build)",
+        **extra,
+    }
+    if partial:
+        out["partial"] = True
+    return out
+
+
+def _fwd_bwd_one(scene, arrays, bvh, mode, depth: int, remat: bool,
+                 psched, reps: int = 3) -> float:
+    """Camera Mrays/s through one full adam train step (final scene,
+    400x225x8 = 720k rays, partitioned compacted descent).  ``psched``:
+    canned partition schedule; falls back to a live probe if its loss
+    tripwire fires (stale buckets)."""
     import jax
     import jax.numpy as jnp
 
-    from hyper_ray_tracer_tpu import build_scene
     from hyper_ray_tracer_tpu.camera import make_basis
-    from hyper_ray_tracer_tpu.render import prepare_scene
     from hyper_ray_tracer_tpu.train import (
         make_train_step,
         measure_partition_schedule,
     )
 
     Wg, Hg, SPPg = 400, 225, 8
-    scene = build_scene(SCENE)
-    arrays, bvh, mode = prepare_scene(scene)
     basis = make_basis(scene.camera, Wg, Hg)
-    arrays, bvh, basis = jax.device_put((arrays, bvh, basis))
+    basis = jax.device_put(basis)
     pix = jnp.broadcast_to(jnp.arange(Wg * Hg, dtype=jnp.int32),
                            (SPPg, Wg * Hg))
     sam = jnp.broadcast_to(jnp.arange(SPPg, dtype=jnp.int32)[:, None],
                            (SPPg, Wg * Hg))
     target = jnp.zeros((Wg * Hg, 3), jnp.float32)
-    psched = measure_partition_schedule(scene, Wg, Hg, depth, mode,
-                                        arrays, bvh, basis, pix, sam)
-    init, step = make_train_step(scene, Wg, Hg, depth, mode, remat=remat,
-                                 partition_sched=psched)
-    state = init(arrays)
-    step_jit = jax.jit(step)
-    _, loss = step_jit(state, arrays, bvh, basis, pix, sam, np.uint32(0),
-                       target)
-    np.asarray(loss)
+
+    for attempt in ("canned", "probed"):
+        if psched is None:  # probe live (canned was stale or absent)
+            psched = measure_partition_schedule(
+                scene, Wg, Hg, depth, mode, arrays, bvh, basis, pix, sam)
+        init, step = make_train_step(scene, Wg, Hg, depth, mode,
+                                     remat=remat, partition_sched=psched)
+        state = init(arrays)
+        step_jit = jax.jit(step)
+        _, loss = step_jit(state, arrays, bvh, basis, pix, sam,
+                           np.uint32(0), target)
+        if float(np.asarray(loss)) < 1e5:
+            break
+        _note(f"depth-{depth} canned schedule overflowed; re-probing")
+        psched = None
+    else:
+        raise RuntimeError("train-step schedule overflowed twice")
+
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -71,22 +183,6 @@ def _fwd_bwd_one(depth: int, remat: bool, reps: int = 3) -> float:
         np.asarray(loss)
         best = min(best, time.perf_counter() - t0)
     return round(Wg * Hg * SPPg / best / 1e6, 3)
-
-
-def _fwd_bwd_extra() -> dict:
-    """Both BASELINE fwd+bwd headlines: depth 8 (throughput sweet spot)
-    and depth 50 with per-bounce remat (config 5's transport depth —
-    VERDICT r3 task 8: driver-captured, not only BASELINE.md-reported)."""
-    extra = {}
-    for key, depth, remat in (
-        ("fwd_bwd_camera_mrays_per_s_depth8", 8, False),
-        ("fwd_bwd_camera_mrays_per_s_depth50_remat", 50, True),
-    ):
-        try:
-            extra[key] = _fwd_bwd_one(depth, remat=remat)
-        except Exception as e:  # pragma: no cover - defensive, per-row
-            print(f"# fwd+bwd row {key} skipped: {e!r}", file=sys.stderr)
-    return extra
 
 
 def main() -> int:
@@ -107,55 +203,73 @@ def main() -> int:
     run = make_compacting_renderer(scene, W, H, DEPTH, mode)
 
     n_rays = W * H * SPP
+    # Pre-seed the recorded schedule: the first call dispatches the
+    # sync-free scheduled descent directly (overflow-checked on device)
+    # instead of compiling + running the serial probe pass.
+    run.schedules[n_rays] = (FWD_SCHED[0], list(FWD_SCHED[1]))
+
     # Image-block launch order: coherent ray tiles; ray ids are generated
     # on device (host->device id uploads cost ~0.4 s/rep over the tunnel).
     perm = jax.device_put(jnp.asarray(block_order(W, H)))
-
     arrays, bvh, basis = jax.device_put((arrays, bvh, basis))
+    _note("setup done; compiling + warmup rep")
 
-    # Warmup rep: compile every bucket shape + first-transfer tunnel
-    # handshake (the compacting renderer syncs internally, so its return
-    # value is already host-side and fully materialised).
+    # Warmup rep: compiles every scheduled program (remote compilations
+    # overlap — the whole chain is dispatched before the first sync) +
+    # first-transfer tunnel handshake.
     out = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(0))
+    _note("warmup rep done")
 
     reps = 5
     best = float("inf")
-    for _ in range(reps):
+    extra: dict = {}
+    for i in range(reps):
         t0 = time.perf_counter()
         out = run(arrays, bvh, basis, perm, 0, SPP, np.uint32(0))
         best = min(best, time.perf_counter() - t0)
+        if i == 0:
+            # First timed rep: flush a provisional record immediately so
+            # even a timed-out run leaves a parseable number.
+            _emit(_payload(n_rays / best / 1e6, {}, partial=True))
 
     mrays = n_rays / best / 1e6
     mean = float(out.mean())
+    _emit(_payload(mrays, {}))
+    _note(
+        f"forward: {W}x{H}x{SPP}spp depth {DEPTH} on {jax.devices()[0]}: "
+        f"{best*1e3:.1f} ms best-of-{reps}, mean radiance {mean:.4f}"
+    )
 
-    # Secondary metric (BASELINE.md north-star headline): camera Mrays/s
+    # Secondary metrics (BASELINE.md north-star headline): camera Mrays/s
     # through a full fwd+bwd adam train step via the partitioned compacted
-    # descent, at the measured 720k-ray saturating launch.  Best-effort:
-    # the primary (forward) metric above must survive even if this path
-    # regresses, so failures just omit the extra keys.
-    extra = {}
-    try:
-        extra = _fwd_bwd_extra()
-    except Exception as e:  # pragma: no cover - defensive driver contract
-        print(f"# fwd+bwd secondary metric skipped: {e!r}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": f"{SCENE}_scene_camera_mrays_per_s_fwd_depth{DEPTH}",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / BASELINE_CPU_MRAYS, 3),
-                "baseline": "estimated (reference publishes no numbers; "
-                "divisor is a ~1.0 Mrays/s estimate of the Rust CPU build)",
-                **extra,
-            }
+    # descent.  Best-effort under the wall-clock budget; the forward
+    # metric above is already on stdout whatever happens here.
+    fwd_done = _elapsed()
+    if fwd_done > GATE_S:
+        _note(
+            f"fwd+bwd extras SKIPPED: forward took {fwd_done:.0f}s > "
+            f"{GATE_S:.0f}s gate (cold compile environment; each extra "
+            "would spend minutes in XLA compilation)"
         )
-    )
-    print(
-        f"# {W}x{H}x{SPP}spp depth {DEPTH} on {jax.devices()[0]}: "
-        f"{best*1e3:.1f} ms best-of-{reps}, mean radiance {mean:.4f}",
-        file=sys.stderr,
-    )
+    else:
+        for key, depth, remat, psched in (
+            ("fwd_bwd_camera_mrays_per_s_depth8", 8, False, PSCHED_D8),
+            ("fwd_bwd_camera_mrays_per_s_depth50_remat", 50, True,
+             PSCHED_D50),
+        ):
+            if _elapsed() > BUDGET_S - ROW_RESERVE_S:
+                _note(f"fwd+bwd row {key} SKIPPED: "
+                      f"{_elapsed():.0f}s elapsed, budget {BUDGET_S:.0f}s")
+                continue
+            try:
+                extra[key] = _fwd_bwd_one(scene, arrays, bvh, mode, depth,
+                                          remat, psched)
+                _note(f"{key} = {extra[key]}")
+            except Exception as e:  # defensive, per-row
+                _note(f"fwd+bwd row {key} skipped: {e!r}")
+
+    _emit(_payload(mrays, extra))
+    _note(f"done in {_elapsed():.1f}s")
     return 0
 
 

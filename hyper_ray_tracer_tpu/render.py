@@ -1396,6 +1396,15 @@ def render_image(scene: Scene, settings: RenderSettings,
     budget_depth = min(settings.depth, 6) if compaction else settings.depth
     spp_chunk = settings.spp_chunk or _auto_spp_chunk(
         W, H, settings.samples, budget_depth)
+    if settings.preview_path and settings.spp_chunk is None:
+        # Progressive display granularity: the reference streams finished
+        # tiles to the screen continuously (application.rs:284-306); a
+        # short render whose auto chunk covers most of its samples would
+        # update the preview PNG only once or twice.  Cap the chunk so a
+        # previewed render refreshes >= 8 times (snapshot cadence defaults
+        # to every chunk when previewing); values are chunk-size
+        # independent (device-resident f32 accumulator chain).
+        spp_chunk = max(1, min(spp_chunk, settings.samples // 8))
 
     # Launch camera rays in image-block order so every RAY_TILE-lane window
     # is a coherent pixel block (block_order docstring); ``inv`` restores
