@@ -118,18 +118,22 @@ disk — the remainder is second-order paths, see scope).
 
 Scope (documented limitations):
 * Double reflections (mirror seen in mirror) are not reflected again.
-* Glass: ONE positive-radius dielectric sphere, three path families —
-  the T*T double refraction, the EXTERNAL Fresnel mirror image (the
+* Glass: dielectric SPHERES, four path families — the T*T double
+  refraction (solid balls), the EXTERNAL Fresnel mirror image (the
   glass surface reflects ~4-10% Schlick, dielectric.rs:47-50; glass
-  spheres simply join the curved-mirror bender set, the probes
-  self-gate the magnitude), and the first internal Fresnel-reflection
-  image (T*R*T, ``_glass_trt_exit_ray`` — same chief+tangency solve on
-  a different optical path).  Not covered: hollow-shell pairs (4
-  interfaces — the detector skips scenes' negative-radius inners AND
-  their outers keep only the outer-surface families), T*R^k*T for
-  k >= 2, and glass-behind-glass chains.  The reference never builds a
-  hollow shell (no negative radius anywhere in application.rs), so the
-  remaining scope is beyond-reference geometry only.
+  spheres — solid or shell — join the curved-mirror bender set, the
+  probes self-gate the magnitude), the first internal
+  Fresnel-reflection image (T*R*T, ``_glass_trt_exit_ray`` — same
+  chief+tangency solve on a different optical path), and the
+  HOLLOW-SHELL through image (round 5: concentric positive+negative
+  radius pairs get the 4-interface ``_glass_shell_exit_ray`` instead
+  of the solid-ball optics; sphere sources only — measured on the
+  hollow rig in tests/test_edges.py).  Not covered: rect/box sources
+  through shells, rays confined to a shell's glass annulus (bubble
+  misses are masked), T*R^k*T for k >= 2, and glass-behind-glass
+  chains.  The reference never builds a hollow shell (no negative
+  radius anywhere in application.rs) — shells are BASELINE config-2
+  geometry.
 * Media boundaries have no radiance discontinuity (smooth free-flight
   attenuation), so constant-medium primitives need no edge term.
 """
@@ -289,12 +293,9 @@ def _alhazen_chief(E, m, R, c, n_alhazen: int = 4):
     return u0, a_e, b_e
 
 
-def glass_sphere_ids_of(scene) -> np.ndarray:
-    """Host-side: STATIC positive-radius spheres whose material is
-    dielectric — refractive lenses (e.g. the glass hero sphere,
-    application.rs:551, dielectric.rs:31-55).  Negative-radius shells
-    (hollow-glass inners) are skipped: their through-paths cross four
-    interfaces, outside the one-refractive-bounce scope."""
+def _dielectric_spheres(scene):
+    """Host-side helper: (static_mask & dielectric sphere mask, radius,
+    centers) over the first n_prims primitives."""
     from ..models.scene import MT_DIELECTRIC
 
     g = scene.arrays.geom
@@ -304,8 +305,48 @@ def glass_sphere_ids_of(scene) -> np.ndarray:
     mat = np.asarray(g.material)[:n]
     mt = np.asarray(scene.arrays.materials.mtype)[mat]
     rad = np.asarray(g.radius)[:n]
-    ok = (pt == PT_SPHERE) & st & (mt == MT_DIELECTRIC) & (rad > 0.0)
-    return np.flatnonzero(ok).astype(np.int32)
+    return ((pt == PT_SPHERE) & st & (mt == MT_DIELECTRIC),
+            rad, np.asarray(g.p0)[:n])
+
+
+def glass_shell_pairs_of(scene) -> np.ndarray:
+    """Host-side: [K, 2] (outer, inner) ids of concentric hollow-glass
+    shell pairs — a positive-radius dielectric sphere plus a
+    NEGATIVE-radius dielectric sphere at (numerically) the same center
+    with |r_inner| < r_outer (the book's hollow-glass trick: the
+    negative radius flips set_face_normal so the inner surface's front
+    faces the glass, dielectric.rs:31-55 + sphere.rs normals; the
+    reference itself never builds one, BASELINE config 2 does)."""
+    ok, rad, cen = _dielectric_spheres(scene)
+    pos = np.flatnonzero(ok & (rad > 0.0))
+    neg = np.flatnonzero(ok & (rad < 0.0))
+    pairs = []
+    for i in pos:
+        tol = 1e-4 * abs(rad[i])
+        for j in neg:
+            if (np.linalg.norm(cen[j] - cen[i]) <= tol
+                    and abs(rad[j]) < rad[i]):
+                pairs.append((int(i), int(j)))
+                break
+    return np.asarray(pairs, np.int32).reshape(-1, 2)
+
+
+def glass_sphere_ids_of(scene) -> np.ndarray:
+    """Host-side: STATIC positive-radius dielectric spheres that are
+    SOLID lenses (e.g. the glass hero sphere, application.rs:551,
+    dielectric.rs:31-55).  Negative-radius shells (hollow-glass inners)
+    are skipped, and so are their OUTERS (glass_shell_pairs_of): a
+    hollow shell's through-path crosses four interfaces, so the
+    solid-ball T*T / T*R*T optics is wrong for it — shells get the
+    dedicated 4-interface family (``_glass_shell_exit_ray``) and keep
+    the external-Fresnel-mirror family (outer-surface reflection is
+    geometry-inside-agnostic)."""
+    ok, rad, _ = _dielectric_spheres(scene)
+    ids = np.flatnonzero(ok & (rad > 0.0)).astype(np.int32)
+    shells = glass_shell_pairs_of(scene)
+    if len(shells):
+        ids = ids[~np.isin(ids, shells[:, 0])]
+    return ids.astype(np.int32)
 
 
 def _refract_unit(v, n, ratio):
@@ -363,6 +404,45 @@ def _glass_trt_exit_ray(E, m, R, ior, u):
     n3 = (x3 - m) / R
     v4, tir = _refract_unit(vr, -n3, ior)
     return x1, x3, _normize(v4), tir
+
+
+def _glass_shell_exit_ray(E, m, R, ior, u, Ri):
+    """Four-interface exit ray through a HOLLOW glass shell: outer
+    radius R, concentric air bubble radius Ri (= |negative inner
+    radius|), index ior (glass_shell_pairs_of; dielectric.rs:31-55 with
+    the negative-radius normal flip).
+
+    Path: air ->(outer, 1/ior)-> glass ->(bubble near side, ior)-> air
+    ->(bubble far side, 1/ior)-> glass ->(outer far side, ior)-> air.
+    Chords between concentric spheres are closed-form.  Entries that
+    MISS the bubble (near-limb rays staying inside the glass annulus)
+    are masked invalid — their thick-annulus optics is neither this
+    family nor the solid ball's (module scope notes).  Either glass->
+    air interface can TIR; same (x_entry, x_exit, v_out, invalid)
+    convention as ``_glass_exit_ray``."""
+    x1 = m + R * u
+    v1 = _normize(x1 - E)
+    v2, _ = _refract_unit(v1, u, 1.0 / ior)  # outer entry: never TIRs
+    v2 = _normize(v2)
+    hb = ((x1 - m) * v2).sum()  # negative: v2 heads inward
+    disc = hb * hb - (R * R - Ri * Ri)
+    miss = disc <= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-20))
+    xb1 = x1 + (-hb - sq) * v2  # first bubble crossing
+    nb1 = (xb1 - m) / Ri  # outward bubble normal; v2.nb1 < 0
+    v3, tir1 = _refract_unit(v2, nb1, ior)  # glass -> air
+    v3 = _normize(v3)
+    xb2 = xb1 + (-2.0 * Ri * (v3 * nb1).sum()) * v3  # bubble chord
+    nb2 = (xb2 - m) / Ri  # v3.nb2 > 0
+    v4, _ = _refract_unit(v3, -nb2, 1.0 / ior)  # air -> glass
+    v4 = _normize(v4)
+    hb2 = ((xb2 - m) * v4).sum()
+    t_out = -hb2 + jnp.sqrt(
+        jnp.maximum(hb2 * hb2 + R * R - Ri * Ri, 1e-20))
+    x2 = xb2 + t_out * v4
+    n2 = (x2 - m) / R
+    v5, tir2 = _refract_unit(v4, -n2, ior)  # outer exit: glass -> air
+    return x1, x2, _normize(v5), miss | tir1 | tir2
 
 
 def _glass_chief(E, m, R, ior, c, n_newton: int = 8,
@@ -611,6 +691,38 @@ def _edge_xy(c, r, phi, off, basis, W, H):
     return _ray_to_xy(w_dir, off, basis, W, H)
 
 
+def _edge_blocked(c, r, phi, off, basis, gs, Rs):
+    """True when the lens->silhouette-point segment crosses any of the
+    ``gs``/``Rs`` spheres (hollow-shell outers): the 4-interface family
+    owns that boundary term, so the direct family must not also count
+    it.  A thin shell deflects the through-image by less than the probe
+    offset, so without this gate BOTH families measure the same radiance
+    step (hollow-rig measurement: combined ratio 1.46 of FD).  Mirrors
+    ``_edge_xy``'s exact frame/edge-point construction; purely primal
+    (the caller stop-gradients the inputs)."""
+    origin = basis.origin + off
+    oc = c - origin
+    L = jnp.sqrt(jnp.maximum((oc * oc).sum(), 1e-20))
+    u_ax = oc / L
+    sin_a = r / L
+    cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 1e-12))
+    bu, bv = basis.u, basis.v
+    seed_v = jnp.where(jnp.abs((u_ax * bu).sum()) < 0.9, bu, bv)
+    e1 = jnp.cross(u_ax, seed_v)
+    e1 = e1 / jnp.sqrt(jnp.maximum((e1 * e1).sum(), 1e-20))
+    e2 = jnp.cross(u_ax, e1)
+    w = cos_a * u_ax + sin_a * (jnp.cos(phi) * e1 + jnp.sin(phi) * e2)
+    t_edge = L * cos_a
+    oc2 = origin[None, :] - gs  # [G,3]
+    b = (oc2 * w[None, :]).sum(-1)  # [G] (w is unit)
+    disc = b * b - (oc2 * oc2).sum(-1) + Rs * Rs
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0, t1 = -b - sq, -b + sq
+    hit = (disc > 0.0) & (((t0 > 1e-4) & (t0 < t_edge))
+                          | ((t1 > 1e-4) & (t1 < t_edge)))
+    return hit.any()
+
+
 def _ray_to_xy(d, offset, basis, W, H):
     """Image coordinates [2] of the thin-lens ray from
     ``basis.origin + offset`` along ``d``: the (s, t) of the focal-plane
@@ -714,6 +826,7 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                                box_ids=None, mirror_ids=None,
                                mirror_sphere_ids=None,
                                glass_sphere_ids=None,
+                               glass_shells=None,
                                mirror_pairs_max: int = 64,
                                n_edge: int = 64, n_seg: int = 16,
                                n_probe: int = 2, eps: float = 0.35,
@@ -788,7 +901,17 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
     # camera sits INSIDE (e.g. a whole-scene dielectric boundary) are
     # skipped host-side — every sample would fail the front test anyway.
     cam_o = np.asarray(scene.camera.look_from, np.float64)
-    _gl_out = [int(g) for g in glass_sphere_ids
+    # Shell OUTERS join the Fresnel-mirror benders too: the outer
+    # surface's external reflection is agnostic to what is inside the
+    # ball (they are excluded from the solid T*T/T*R*T families and get
+    # the 4-interface through-family below instead).
+    if glass_shells is None:
+        glass_shells = glass_shell_pairs_of(scene)
+    glass_shells = np.asarray(glass_shells,
+                              np.int32).reshape(-1, 2)
+    _shell_outer_ids = [int(p[0]) for p in glass_shells]
+    _gl_out = [int(g) for g in
+               list(glass_sphere_ids) + _shell_outer_ids
                if glass_fresnel_mirror
                and np.linalg.norm(np.asarray(g_host.p0)[int(g)] - cam_o)
                > abs(float(np.asarray(g_host.radius)[int(g)])) * 1.001]
@@ -826,6 +949,32 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
     gp_g = np.asarray(gp_g, np.int32)
     gp_s = np.asarray(gp_s, np.int32)
     GQ = int(gp_g.shape[0])
+
+    # Hollow-shell (outer, inner, source-sphere) pairs: concentric
+    # dielectric pairs get the 4-interface through-family
+    # (_glass_shell_exit_ray) instead of the solid-ball T*T — the solid
+    # optics is wrong for them (glass_sphere_ids_of excludes shell
+    # outers; they re-join the external-Fresnel bender set above via
+    # ``shell_pairs`` since their outer-surface reflection is geometry-
+    # inside-agnostic).  Sphere sources only; rect/box sources through
+    # shells stay out of scope (module docstring).
+    shp_g, shp_in, shp_s = [], [], []
+    for so, si in glass_shells:
+        srcs = sphere_ids[(sphere_ids != so) & (sphere_ids != si)]
+        if srcs.size == 0:
+            continue
+        c0 = np.asarray(g_host.p0)[srcs]
+        rr = np.abs(np.asarray(g_host.radius)[srcs])
+        gg0 = np.asarray(g_host.p0)[int(so)]
+        app = rr / np.maximum(np.linalg.norm(c0 - gg0, axis=-1), 1e-6)
+        keep = np.argsort(-app, kind="stable")[:mirror_pairs_max]
+        shp_g.extend(int(so) for _ in keep)
+        shp_in.extend(int(si) for _ in keep)
+        shp_s.extend(int(v) for v in srcs[keep])
+    shp_g = np.asarray(shp_g, np.int32)
+    shp_in = np.asarray(shp_in, np.int32)
+    shp_s = np.asarray(shp_s, np.int32)
+    SQ = int(shp_g.shape[0])
 
     # Segment pairs through CURVED mirrors and GLASS spheres (rect/box
     # sources): one shared host-side bake of every boundary segment's
@@ -912,12 +1061,16 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
     disk_g = _disk(GQ, E, 5.0) * _lr  # [GQ,E,2]
     disk_g2 = _disk(GQ2, E2, 6.0) * _lr  # [GQ2,E2,2]
     disk_g3 = _disk(GQ, E, 7.0) * _lr  # [GQ,E,2] (T*R*T family)
+    disk_sh = _disk(SQ, E, 8.0) * _lr  # [SQ,E,2] (hollow-shell family)
     tfracs_q = np.mod((np.arange(E, dtype=np.float64) + 0.5) / E
                       + 0.6180339887 * np.arange(max(Q, 1))[:, None],
                       1.0).astype(np.float32)
     tfracs_g = np.mod((np.arange(E, dtype=np.float64) + 0.5) / E
                       + 0.6180339887 * np.arange(max(GQ, 1))[:, None],
                       1.0).astype(np.float32)
+    tfracs_sh = np.mod((np.arange(E, dtype=np.float64) + 0.5) / E
+                       + 0.6180339887 * np.arange(max(SQ, 1))[:, None],
+                       1.0).astype(np.float32)
 
     # inner vmap: per-sample (center_at_time, phi, lens point); outer:
     # per sphere / per segment.
@@ -966,6 +1119,27 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                                   exit_fn=_glass_trt_exit_ray),
                  in_axes=(0, None, None, None, 0, None, 0, None)),
         in_axes=(0, 0, 0, 0, 0, 0, None, None))
+
+    # Hollow-shell family: the same sphere-source solve with the
+    # 4-interface exit ray; the bubble radius Ri rides as one more
+    # vmapped (traced, differentiable) argument via closure.
+    def _shell_xy(off, gc, gr, gri, ior, c, r, p, b):
+        return _glass_sphere_xy(
+            off, gc, gr, ior, c, r, p, b, W, H,
+            exit_fn=lambda E2, m2, R2, io2, u2:
+            _glass_shell_exit_ray(E2, m2, R2, io2, u2, gri))
+
+    sh_xy_fn = jax.vmap(
+        jax.vmap(_shell_xy,
+                 in_axes=(0, None, None, None, None, 0, None, 0, None)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
+    sh_tan_fn = jax.vmap(
+        jax.vmap(jax.jacfwd(
+            lambda off, gc, gr, gri, ior, c, r, p, b:
+            _shell_xy(off, gc, gr, gri, ior, c, r, p, b)[0],
+            argnums=7),
+            in_axes=(0, None, None, None, None, 0, None, 0, None)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
     gl_trt_tan_fn = jax.vmap(
         jax.vmap(jax.jacfwd(
             lambda off, gc, gr, ior, c, r, p, b:
@@ -1088,7 +1262,7 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
                 nrm.reshape(-1, 2), wgt, pix)
 
     def correction(arrays, bvh, basis, seed):
-        if S + R + B + Q + GQ == 0:
+        if S + R + B + Q + GQ + SQ == 0:
             # Nothing edge-worthy in the scene (e.g. pure media): the
             # correction is identically zero rather than a crash.
             return jnp.zeros((W * H, 3), jnp.float32)
@@ -1134,6 +1308,21 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
             L_cam = jnp.sqrt(
                 ((sg(c_all) - basis.origin - off_s) ** 2).sum(-1))
             pre = (sg(cW) < 0.0) & (L_cam > sg(r_all)[:, None] * 1.001)
+            if _shell_outer_ids:
+                # Double-count gate (_edge_blocked): direct-family rows
+                # (the first S of the (M+1)S stack) whose lens->edge
+                # segment crosses a hollow-shell outer are owned by the
+                # 4-interface family below.  Virtual (mirror-image)
+                # rows keep their samples — through-mirror-through-shell
+                # composites are out of scope (module docstring).
+                _sids = np.asarray(_shell_outer_ids, np.int32)
+                blk = jax.vmap(jax.vmap(
+                    _edge_blocked,
+                    in_axes=(0, None, 0, 0, None, None, None)),
+                    in_axes=(0, 0, None, 0, None, None, None))(
+                    sg(c), sg(r), jnp.asarray(phis), off_s[:S], basis,
+                    sg(geom.p0[_sids]), sg(jnp.abs(geom.radius[_sids])))
+                pre = jnp.concatenate([pre[:S] & ~blk, pre[S:]], axis=0)
             cen = sg(xy).mean(1, keepdims=True)
             parts.append(_finish_part(xy, tau, cen, pre))
             times.append(tt_all.reshape(-1))
@@ -1227,6 +1416,42 @@ def make_silhouette_correction(scene, W, H, depth, intersector, leaf_size=4,
             parts.append(_finish_part(xy, tau, cen, okg))
             times.append(ttg.reshape(-1))
             offsets.append(off_g3.reshape(-1, 3))
+
+        if SQ > 0:
+            # Hollow-shell silhouettes: one family per (shell, source
+            # sphere) pair, the tangency curve solved with the
+            # 4-interface exit ray (_glass_shell_exit_ray).  The outer
+            # radius, BUBBLE radius (|negative inner|), and IOR are all
+            # traced, so d(image)/d(each) carries the boundary term.
+            gsh = geom.p0[shp_g]  # [SQ,3]
+            Rsh = jnp.abs(geom.radius[shp_g])
+            Rin = jnp.abs(geom.radius[shp_in])
+            iors = arrays.materials.ior[geom.material[shp_g]]
+            p0s_ = geom.p0[shp_s]
+            p1s_ = geom.p1[shp_s]
+            rs_ = jnp.abs(geom.radius[shp_s])
+            tts = (basis.time0
+                   + jnp.asarray(tfracs_sh)
+                   * (basis.time1 - basis.time0))
+            ts0_ = geom.time0[shp_s][:, None]
+            ts1_ = geom.time1[shp_s][:, None]
+            frs = (tts - ts0_) / (ts1_ - ts0_)
+            cs_ = p0s_[:, None, :] \
+                + frs[..., None] * (p1s_ - p0s_)[:, None, :]
+            off_sh = _lens_offsets(jnp.asarray(disk_sh))  # [SQ,E,3]
+            phi = jnp.asarray(phis)
+            xy, oks = sh_xy_fn(off_sh, gsh, Rsh, Rin, iors, cs_, rs_,
+                               phi, basis)
+            tau = sh_tan_fn(off_sh, gsh, Rsh, Rin, iors, cs_, rs_,
+                            phi, basis) * (_TWO_PI / E)
+            oks3 = oks[..., None]
+            xy = jnp.where(oks3, xy, 0.0)  # sanitize diverged lanes
+            tau = jnp.where(sg(oks3), sg(tau), 1.0)
+            wsum = jnp.maximum(sg(oks3).sum(1, keepdims=True), 1)
+            cen = sg(xy).sum(1, keepdims=True) / wsum
+            parts.append(_finish_part(xy, tau, cen, oks))
+            times.append(tts.reshape(-1))
+            offsets.append(off_sh.reshape(-1, 3))
 
         segA = []
         segB = []
