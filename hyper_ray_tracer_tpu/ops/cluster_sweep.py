@@ -68,6 +68,18 @@ RAY_TILE_TWO_LEVEL = 1024
 SUPER_MIN_CLUSTERS = 512
 SUPER_FANOUT = 64
 
+# Clusters processed per visit-loop trip.  Built in round 5 on the
+# hypothesis (from fitting t = a*visits + b*pairs to the granularity
+# sweep) that per-trip overhead dominated; MEASURED NEGATIVE at width
+# 4 on both flakes — 598k: 2.42 s vs 2.29 s at width 1; 66k: 0.417 vs
+# 0.454 Mrays/s — widening trades the per-trip overhead for a staler
+# t_best inside the trip (more candidates pass the t_max test) and a
+# concatenated [tile, KV*cw] intermediate, and loses on both.  The
+# machinery stays (width 1 is the plain loop, and the fold is
+# closest-hit-exact at any width — pinned by the cluster parity
+# tests); the default stays 1.
+VISIT_WIDTH = 1
+
 
 def _super_bounds_np(r):
     """Blockwise super-cluster AABBs of a run ([S,3] min/max, f32): the
@@ -266,6 +278,17 @@ def make_cluster_intersector(static, layout):
         upd = tt < t_best
         return jnp.where(upd, tt, t_best), jnp.where(upd, base_idx + j, best)
 
+    def _fold_multi(starts, cw, t, t_best, best):
+        """_fold over VISIT_WIDTH concatenated cluster tiles: the winner
+        column maps back through its chunk's base.  argmin's first-
+        occurrence rule keeps the earliest-entry cluster on exact ties,
+        matching the sequential nearest-first processing order."""
+        j = jnp.argmin(t, axis=1).astype(jnp.int32)
+        tt = jnp.min(t, axis=1)
+        upd = tt < t_best
+        base = starts[j // cw] + (j % cw)
+        return jnp.where(upd, tt, t_best), jnp.where(upd, base, best)
+
     def _cluster_t(hit_fn, kind, geom, sph, start, cw, ray_args, t_min,
                    t_best):
         """Candidate t of one cluster tile.
@@ -333,6 +356,7 @@ def make_cluster_intersector(static, layout):
             o_l, inv_l, act_l = ray_args[4:7]
             order, count, entry_sorted = _tile_cull(
                 cmin, cmax, o_l, inv_l, act_l, t_min, t_best)
+            KV = min(VISIT_WIDTH, run.n_clusters)
 
             def cond(carry):
                 k, t_best, _ = carry
@@ -343,11 +367,18 @@ def make_cluster_intersector(static, layout):
 
             def body(carry):
                 k, t_best, best = carry
-                start = run.base + order[k] * cw
-                t = _cluster_t(hit_fn, kind, geom, sph, start, cw,
-                               ray_args, t_min, t_best)
-                t_best, best = _fold(start, t, t_best, best)
-                return k + 1, t_best, best
+                # KV nearest-first clusters per trip (VISIT_WIDTH notes);
+                # trailing indices clip to the last in-range cluster —
+                # refolding an already-processed cluster is a no-op under
+                # the strict-< fold.
+                idxs = jnp.clip(k + jnp.arange(KV), 0, count - 1)
+                starts = run.base + order[idxs] * cw
+                t = jnp.concatenate(
+                    [_cluster_t(hit_fn, kind, geom, sph, starts[j], cw,
+                                ray_args, t_min, t_best)
+                     for j in range(KV)], axis=1)
+                t_best, best = _fold_multi(starts, cw, t, t_best, best)
+                return k + KV, t_best, best
 
             _, t_best, best = jax.lax.while_loop(
                 cond, body, (k0, t_best, best))
@@ -396,18 +427,27 @@ def make_cluster_intersector(static, layout):
                 count_f = (entry_fs < jnp.float32(0.5) * BIG).sum(
                     dtype=jnp.int32)
 
+                KV = min(VISIT_WIDTH, F)
+
                 def cond_f(c2):
                     k2, tb2, _ = c2
                     return (k2 < count_f) & (entry_fs[k2] < tb2.max())
 
                 def body_f(c2):
                     k2, tb2, bb2 = c2
-                    ci = s * F + order_f[k2]
-                    start = run.base + ci * cw
-                    t = _cluster_t(hit_fn, kind, geom, sph, start, cw,
-                                   ray_args, t_min, tb2)
-                    tb2, bb2 = _fold(start, t, tb2, bb2)
-                    return k2 + 1, tb2, bb2
+                    # KV nearest-first member clusters per trip
+                    # (VISIT_WIDTH notes); trailing indices clip to the
+                    # last in-range member — a refold is a no-op under
+                    # the strict-< fold.
+                    idxs = jnp.clip(k2 + jnp.arange(KV), 0, count_f - 1)
+                    cis = s * F + order_f[idxs]
+                    starts = run.base + cis * cw
+                    t = jnp.concatenate(
+                        [_cluster_t(hit_fn, kind, geom, sph, starts[j],
+                                    cw, ray_args, t_min, tb2)
+                         for j in range(KV)], axis=1)
+                    tb2, bb2 = _fold_multi(starts, cw, t, tb2, bb2)
+                    return k2 + KV, tb2, bb2
 
                 _, t_best, best = jax.lax.while_loop(
                     cond_f, body_f, (k * 0, t_best, best))

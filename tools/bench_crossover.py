@@ -94,7 +94,14 @@ def main() -> int:
         o2 = jnp.asarray(rng.uniform(-half, half, (N, 3)).astype(np.float32))
         d2 = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
 
+        # Coherence-SORTED secondary rays: what the compacted renderer's
+        # wavefront actually looks like (every milestone re-orders
+        # survivors by make_coherence_key).  The raw column is the
+        # no-sort worst case; the sorted one is the operative number for
+        # the cluster intersector (round 5, tools/prof_sec1m.py: raw
+        # 2,224 ms -> sorted 523 ms at K=1M).
         res = {}
+        sort_order = None
         for mode in ["sweep", "cluster", "bvh"]:
             arrays, bvh, _ = prepare_scene(scene, mode)
             arrays, bvh = jax.device_put((arrays, bvh))
@@ -112,6 +119,14 @@ def main() -> int:
                 trace = jax.jit(lambda o, d, t, b, a, _g=arrays.geom,
                                 _t=tr: _t(_g, o, d, t, T_MIN, b, a)[0]
                                 .sum())
+                from hyper_ray_tracer_tpu.ops.cluster_sweep import (
+                    make_coherence_key,
+                )
+
+                key_fn = make_coherence_key(layout)
+                sort_order = np.asarray(
+                    jax.jit(lambda o, d: jnp.argsort(key_fn(o, d)))(
+                        o2, d2))
             else:
                 from hyper_ray_tracer_tpu.ops.bvh import make_intersector
 
@@ -131,25 +146,33 @@ def main() -> int:
                               state.alive[sl]) * div
                 t_sec = bench(trace, o2[sl], d2[sl], state.time[sl],
                               state.base[sl], state.alive[sl]) * div
+                t_srt = float("nan")
+                if mode == "cluster":
+                    o3 = o2[jnp.asarray(sort_order)]
+                    d3 = d2[jnp.asarray(sort_order)]
+                    t_srt = bench(trace, o3[sl], d3[sl], state.time[sl],
+                                  state.base[sl], state.alive[sl]) * div
             except Exception as e:  # OOM / compile limits at huge K
                 print(f"  {mode} failed at K={K}: {type(e).__name__}",
                       file=sys.stderr)
-                t_cam = t_sec = float("nan")
-            res[mode] = (t_cam, t_sec)
+                t_cam = t_sec = t_srt = float("nan")
+            res[mode] = (t_cam, t_sec, t_srt)
             print(f"K={K:>7} {mode:7s} camera {t_cam*1e3:9.1f} ms   "
                   f"secondary {t_sec*1e3:9.1f} ms"
+                  + (f"   sorted {t_srt*1e3:9.1f} ms"
+                     if mode == "cluster" else "")
                   + ("   (x%d ray scaling)" % div if div > 1 else ""),
                   flush=True)
         rows.append((K, res))
 
     print("\n| K | sweep cam | cluster cam | bvh cam | sweep 2nd | "
-          "cluster 2nd | bvh 2nd |")
+          "cluster 2nd raw | cluster 2nd sorted | bvh 2nd |")
     for K, res in rows:
-        cells = []
-        for m in ["sweep", "cluster", "bvh"]:
-            cells += [f"{res[m][0]*1e3:.0f}", f"{res[m][1]*1e3:.0f}"]
-        print(f"| {K} | {cells[0]} | {cells[2]} | {cells[4]} | {cells[1]} |"
-              f" {cells[3]} | {cells[5]} |  (ms / 90k rays)")
+        c = {m: res[m] for m in ["sweep", "cluster", "bvh"]}
+        print(f"| {K} | {c['sweep'][0]*1e3:.0f} | {c['cluster'][0]*1e3:.0f}"
+              f" | {c['bvh'][0]*1e3:.0f} | {c['sweep'][1]*1e3:.0f} |"
+              f" {c['cluster'][1]*1e3:.0f} | {c['cluster'][2]*1e3:.0f} |"
+              f" {c['bvh'][1]*1e3:.0f} |  (ms / 90k rays)")
     return 0
 
 
