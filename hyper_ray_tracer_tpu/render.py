@@ -686,6 +686,11 @@ def _compact_finish(state, slots, idx_full, bucket, n_alive):
     # per pass; on overflow the pass is discarded and rerun with
     # counted buckets, so scheduling can never change the image.
     overflow = n_alive > bucket
+    # NOTE: unlike the partitioned form, the bucket here can contain
+    # DEAD lanes (positions [n_alive, bucket) — schedule headroom) whose
+    # pending radiance must keep riding until a later milestone's tail
+    # or the final wavefront flushes it, so the radiance columns stay in
+    # the gather (compact_wavefront_part can drop them — see there).
     fpk = jnp.concatenate(
         [state.o, state.d, state.time[:, None], state.throughput,
          state.radiance],
@@ -840,9 +845,22 @@ def compact_wavefront_part(state, slots, buckets, drop_bucket,
          if buckets[p] > 0]) if b_total else jnp.zeros(0, jnp.int32)
     valid = local < thresh
 
+    # Survivor radiance is NOT gathered — every real bucket row is an
+    # ALIVE lane (kept = alive & cat==p; ALL dead lanes leave through
+    # the drop region this milestone), and a live lane's radiance is
+    # exactly 0.0 by material exclusivity: the only emitter
+    # (MT_DIFFUSE_LIGHT) forces did_scatter=False (ops/materials.py,
+    # diffuse_light.rs:21-27) and miss->background kills the lane the
+    # same bounce, so every radiance contribution coincides with lane
+    # death.  Materializing zeros below is bit-identical AND
+    # gradient-identical (the survivor rows' radiance terms select
+    # literal-zero where-branches, so their cotangents vanish); it drops
+    # the widest column block from the packed row gather and the
+    # matching cotangent scatter from the training backward.  (The
+    # plain/sorted compactions CANNOT do this — their buckets carry
+    # dead-lane headroom, see _compact_finish.)
     fpk = jnp.concatenate(
-        [state.o, state.d, state.time[:, None], state.throughput,
-         state.radiance],
+        [state.o, state.d, state.time[:, None], state.throughput],
         axis=-1,
     )[idx]
     ipk = jnp.stack(
@@ -872,7 +890,7 @@ def compact_wavefront_part(state, slots, buckets, drop_bucket,
         base=jax.lax.bitcast_convert_type(ipk[:, 0], jnp.uint32),
         alive=valid,
         throughput=fpk[:, 7:10],
-        radiance=jnp.where(valid[:, None], fpk[:, 10:13], 0.0),
+        radiance=jnp.zeros((b_total, 3), state.radiance.dtype),
     )
     return g, new_slots, drop, overflow
 

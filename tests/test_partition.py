@@ -273,6 +273,15 @@ def test_compact_part_fuzz_synthetic():
         o = rng.uniform(-3, 5, (n, 3)).astype(np.float32)
         d = rng.normal(size=(n, 3)).astype(np.float32)
         alive = rng.random(n) < rng.uniform(0.2, 0.9)
+        # Production invariant (render.compact_wavefront_part): a live
+        # lane's radiance is exactly zero — every emission coincides
+        # with lane death (ops/materials.py: the only emitter forces
+        # did_scatter=False; misses die the same bounce).  The
+        # partitioned compaction RELIES on this (survivor radiance is
+        # materialized as zeros, not gathered), so the fuzz respects it:
+        # only dead lanes carry pending radiance.
+        radiance = rng.random((n, 3)).astype(np.float32)
+        radiance[alive] = 0.0
         state = R.WavefrontState(
             o=jnp.asarray(o), d=jnp.asarray(d),
             time=jnp.asarray(rng.random(n).astype(np.float32)),
@@ -280,7 +289,7 @@ def test_compact_part_fuzz_synthetic():
             alive=jnp.asarray(alive),
             throughput=jnp.asarray(
                 rng.random((n, 3)).astype(np.float32)),
-            radiance=jnp.asarray(rng.random((n, 3)).astype(np.float32)),
+            radiance=jnp.asarray(radiance),
         )
         n0 = n + 16
         slots = jnp.asarray(
