@@ -691,13 +691,13 @@ def _compact_finish(state, slots, idx_full, bucket, n_alive):
     # pending radiance must keep riding until a later milestone's tail
     # or the final wavefront flushes it, so the radiance columns stay in
     # the gather (compact_wavefront_part can drop them — see there).
+    # The int columns (RNG base, slot) ride the same row gather through
+    # bitcasts (pure bit movement — exact round-trip).
     fpk = jnp.concatenate(
         [state.o, state.d, state.time[:, None], state.throughput,
-         state.radiance],
-        axis=-1,
-    )[idx]
-    ipk = jnp.stack(
-        [jax.lax.bitcast_convert_type(state.base, jnp.int32), slots],
+         state.radiance,
+         jax.lax.bitcast_convert_type(state.base, jnp.float32)[:, None],
+         jax.lax.bitcast_convert_type(slots, jnp.float32)[:, None]],
         axis=-1,
     )[idx]
     # Dropped rows leave as a compact log entry; the tail is all real
@@ -707,12 +707,13 @@ def _compact_finish(state, slots, idx_full, bucket, n_alive):
         o=fpk[:, 0:3],
         d=fpk[:, 3:6],
         time=fpk[:, 6],
-        base=jax.lax.bitcast_convert_type(ipk[:, 0], jnp.uint32),
+        base=jax.lax.bitcast_convert_type(fpk[:, 13], jnp.uint32),
         alive=packed_alive,
         throughput=fpk[:, 7:10],
         radiance=fpk[:, 10:13],
     )
-    return g, ipk[:, 1], drop, overflow
+    return g, jax.lax.bitcast_convert_type(fpk[:, 14], jnp.int32), \
+        drop, overflow
 
 
 def compact_wavefront_sorted(state, slots, bucket, key):
@@ -859,12 +860,15 @@ def compact_wavefront_part(state, slots, buckets, drop_bucket,
     # matching cotangent scatter from the training backward.  (The
     # plain/sorted compactions CANNOT do this — their buckets carry
     # dead-lane headroom, see _compact_finish.)
+    #
+    # The int columns (RNG base, slot) ride the SAME row gather through
+    # bitcasts — a gather is pure bit movement, so the uint32 patterns
+    # survive the f32 round-trip exactly and the second (int-pack) row
+    # gather of the old layout disappears.
     fpk = jnp.concatenate(
-        [state.o, state.d, state.time[:, None], state.throughput],
-        axis=-1,
-    )[idx]
-    ipk = jnp.stack(
-        [jax.lax.bitcast_convert_type(state.base, jnp.int32), slots],
+        [state.o, state.d, state.time[:, None], state.throughput,
+         jax.lax.bitcast_convert_type(state.base, jnp.float32)[:, None],
+         jax.lax.bitcast_convert_type(slots, jnp.float32)[:, None]],
         axis=-1,
     )[idx]
 
@@ -881,13 +885,13 @@ def compact_wavefront_part(state, slots, buckets, drop_bucket,
     drop = (state.radiance[idx_drop], drop_slot)
 
     new_slots = jnp.where(
-        valid, ipk[:, 1],
+        valid, jax.lax.bitcast_convert_type(fpk[:, 11], jnp.int32),
         np.int32(hole_base) + jnp.arange(b_total, dtype=jnp.int32))
     g = WavefrontState(
         o=fpk[:, 0:3],
         d=fpk[:, 3:6],
         time=fpk[:, 6],
-        base=jax.lax.bitcast_convert_type(ipk[:, 0], jnp.uint32),
+        base=jax.lax.bitcast_convert_type(fpk[:, 10], jnp.uint32),
         alive=valid,
         throughput=fpk[:, 7:10],
         radiance=jnp.zeros((b_total, 3), state.radiance.dtype),
