@@ -70,10 +70,46 @@ def test_scene_parity(name, W, H, spp, depth, bvh, mean_tol):
     )
 
 
+# VERDICT r4 task 6: flagship scenes at >=96x54, 4 spp, depth 8 (the
+# fast CASES above stay at 48x28x2 so the default suite keeps its
+# runtime; these run in the nightly slow lane).  Tolerances from the
+# round-5 measurement (2026-08, CPU jax vs f64 oracle):
+#   cornell       mean 1.7e-4, outliers 0.0004
+#   cornell-smoke mean 2.8e-10, outliers 0.0
+#   random        mean 1.5e-3, outliers 0.0145 (glass/fuzzy-metal
+#                 near-tie flips at MC density, same budget reasoning
+#                 as the fast cases)
+SLOW_CASES = [
+    ("cornell", 96, 54, 4, 8, True, 1e-3, 0.003),
+    ("cornell-smoke", 96, 54, 4, 8, True, 1e-3, 0.003),
+    ("random", 96, 54, 4, 8, None, 3e-3, 0.025),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,W,H,spp,depth,bvh,mean_tol,out_tol",
+                         SLOW_CASES, ids=[c[0] for c in SLOW_CASES])
+def test_scene_parity_scaled(name, W, H, spp, depth, bvh, mean_tol,
+                             out_tol):
+    scene = build_scene(name)
+    img_j = render_image(
+        scene, RenderSettings(width=W, height=H, samples=spp, depth=depth,
+                              intersector=bvh)
+    )
+    img_o = Oracle(scene, W, H).render(spp, depth)
+    err = np.abs(img_j - img_o)
+    assert float(err.mean()) < mean_tol, f"mean err {err.mean():.3e}"
+    assert float(np.mean(err > 3e-2)) < out_tol, (
+        f"outlier fraction {np.mean(err > 3e-2):.4f}"
+    )
+
+
 @pytest.mark.slow
 def test_final_scene_parity():
+    # Scaled up from 40x24x2spp depth 5 in round 5 (VERDICT r4 task 6);
+    # measured mean err 2.87e-3, outlier fraction 0.0039 at this shape.
     scene = build_scene("final")
-    W, H, spp, depth = 40, 24, 2, 5
+    W, H, spp, depth = 64, 36, 4, 8
     img_j = render_image(
         scene, RenderSettings(width=W, height=H, samples=spp, depth=depth)
     )
