@@ -63,6 +63,15 @@ def main(argv=None) -> int:
     parser.add_argument("--profile", default=None, metavar="LOGDIR",
                         help="Capture a jax.profiler trace of the render "
                              "into LOGDIR (TensorBoard-compatible)")
+    parser.add_argument("--watch", default=None, metavar="PARAMS.json",
+                        help="Watch-mode re-render: after each render, "
+                             "poll PARAMS.json (a JSON object of CLI "
+                             "overrides: width/height/samples/depth/"
+                             "scene/seed/spp_chunk) and re-render "
+                             "whenever it changes — the TPU-host "
+                             "analogue of the reference viewer's "
+                             "resize-triggered re-render "
+                             "(application.rs:334-355).  Ctrl-C exits.")
     args = parser.parse_args(argv)
 
     from .utils.logging import init as log_init
@@ -86,38 +95,68 @@ def main(argv=None) -> int:
     scene = build_scene(args.scene)
     log.info("Generated world (%d primitives)", scene.static.n_prims)
 
-    settings = RenderSettings(
-        width=args.width, height=args.height, samples=args.samples,
-        depth=args.depth, seed=args.seed, spp_chunk=args.spp_chunk,
-        intersector=args.intersector, leaf_size=args.leaf_size,
-        checkpoint_path=args.checkpoint, preview_path=args.preview,
-        partition=not args.no_partition,
-    )
+    overrides = {}
 
-    t0 = time.monotonic()
+    def render_once():
+        nonlocal scene
+        eff = {**vars(args), **overrides}
+        if eff["scene"] != scene.name:
+            log.info("Generating world...")
+            scene = build_scene(eff["scene"])
+            log.info("Generated world (%d primitives)",
+                     scene.static.n_prims)
+        settings = RenderSettings(
+            width=int(eff["width"]), height=int(eff["height"]),
+            samples=int(eff["samples"]), depth=int(eff["depth"]),
+            seed=int(eff["seed"]), spp_chunk=eff["spp_chunk"],
+            intersector=args.intersector, leaf_size=args.leaf_size,
+            checkpoint_path=args.checkpoint, preview_path=args.preview,
+            partition=not args.no_partition,
+        )
+        t0 = time.monotonic()
 
-    def progress(done, total):
-        log.info("progress: %d/%d spp (%.1fs)", done, total,
-                 time.monotonic() - t0)
+        def progress(done, total):
+            log.info("progress: %d/%d spp (%.1fs)", done, total,
+                     time.monotonic() - t0)
 
-    if args.profile:
-        from .utils.profiling import trace
+        if args.profile:
+            from .utils.profiling import trace
 
-        with trace(args.profile):
+            with trace(args.profile):
+                img = render_image(scene, settings, progress_cb=progress)
+        else:
             img = render_image(scene, settings, progress_cb=progress)
-    else:
-        img = render_image(scene, settings, progress_cb=progress)
-    dt = time.monotonic() - t0
+        dt = time.monotonic() - t0
 
-    out = args.output or f"{args.scene}.png"
-    write_png(out, img)
-    # Completion summary, mirroring application.rs:266-277.
-    minutes, seconds = divmod(int(dt), 60)
-    log.info("Rendering finished in %02d:%02d", minutes, seconds)
-    log.info("Image Info - Width: %d, Height: %d, Samples: %d, Depth: %d, "
-             "Objects: %d", args.width, args.height, args.samples,
-             args.depth, scene.static.n_prims)
-    log.info("wrote %s", out)
+        out = args.output or f"{eff['scene']}.png"
+        write_png(out, img)
+        # Completion summary, mirroring application.rs:266-277.
+        minutes, seconds = divmod(int(dt), 60)
+        log.info("Rendering finished in %02d:%02d", minutes, seconds)
+        log.info("Image Info - Width: %d, Height: %d, Samples: %d, "
+                 "Depth: %d, Objects: %d", settings.width, settings.height,
+                 settings.samples, settings.depth, scene.static.n_prims)
+        log.info("wrote %s", out)
+
+    if not args.watch:
+        render_once()
+        return 0
+
+    # Watch mode: re-render whenever the params file changes — the
+    # reference re-renders on every window resize (application.rs:334-355,
+    # handle_resize -> render); a headless TPU host re-renders on every
+    # params edit instead.  Unlike the reference, in-flight work is never
+    # abandoned: each render completes, then the newest params win.
+    from .utils.watch import watch_loop
+
+    def on_change(new_overrides):
+        nonlocal overrides
+        overrides = new_overrides
+        render_once()
+
+    render_once()
+    log.info("watching %s for changes (Ctrl-C to stop)", args.watch)
+    watch_loop(args.watch, on_change, log=log)
     return 0
 
 

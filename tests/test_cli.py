@@ -91,3 +91,64 @@ def test_preview_chunk_granularity(tmp_path, monkeypatch):
     render_image(scene, RenderSettings(width=24, height=14, samples=16,
                                        depth=4, preview_path=str(pv)))
     assert len(writes) >= 8, f"only {len(writes)} preview refreshes"
+
+
+def test_watch_overrides_parsing(tmp_path):
+    """load_overrides filters to the accepted keys and survives invalid
+    JSON (half-written editor saves keep the previous params)."""
+    from hyper_ray_tracer_tpu.utils.watch import load_overrides
+
+    p = tmp_path / "params.json"
+    p.write_text('{"samples": 8, "width": 64, "bogus": 1}')
+    assert load_overrides(str(p)) == {"samples": 8, "width": 64}
+    p.write_text('{"samples": ')  # torn write
+    assert load_overrides(str(p)) is None
+    p.write_text('[1, 2]')  # not an object
+    assert load_overrides(str(p)) is None
+
+
+def test_cli_watch_rerenders(tmp_path, monkeypatch):
+    """--watch re-renders with the new params when the watched JSON file
+    changes — the headless analogue of the reference's resize-triggered
+    re-render (application.rs:334-355)."""
+    import threading
+
+    from hyper_ray_tracer_tpu.utils import watch as W
+
+    out = tmp_path / "w.png"
+    params = tmp_path / "params.json"
+    params.write_text("{}")
+
+    real_loop = W.watch_loop
+
+    def bounded_loop(path, on_change, poll_s=0.5, log=None,
+                     max_iters=None):
+        return real_loop(path, on_change, poll_s=0.05, log=log,
+                         max_iters=100)
+
+    monkeypatch.setattr(W, "watch_loop", bounded_loop)
+
+    def edit_params():
+        import time as _t
+
+        # Wait for the FIRST render to finish (cold jit takes seconds)
+        # so the edit lands while watch_loop is actually polling.
+        for _ in range(600):
+            if out.exists():
+                break
+            _t.sleep(0.05)
+        _t.sleep(0.3)
+        params.write_text('{"width": 48, "height": 26, "samples": 1}')
+
+    t = threading.Thread(target=edit_params)
+    t.start()
+    rc = main([
+        "--scene", "three-spheres", "--width", "32", "--height", "18",
+        "--samples", "1", "--depth", "3", "--output", str(out),
+        "--verbosity", "0", "--watch", str(params),
+    ])
+    t.join()
+    assert rc == 0
+    img = np.asarray(Image.open(out))
+    # The re-render with the edited params overwrote the original 18x32.
+    assert img.shape == (26, 48, 3)
