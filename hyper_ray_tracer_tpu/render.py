@@ -1571,16 +1571,28 @@ def render_image(scene: Scene, settings: RenderSettings,
     # chunk k, so the device never idles on the host's readback /
     # checkpoint / preview work between chunks (the reference keeps its
     # workers busy the same way via the tokio task queue,
-    # application.rs:393-475).
+    # application.rs:393-475).  The FIRST chunk is finished before the
+    # second is dispatched: dispatching chunk 2 first would trace the
+    # ~20 scheduled-descent programs (~9 s host-side, measured in
+    # docs/DESIGN.md §21) before the first progress/preview fires, while
+    # the probe chunk itself is ready in ~5 s — first visual feedback
+    # matters (the reference streams its first finished tiles
+    # immediately, application.rs:284-306) and the overlap forfeited is
+    # only chunk 1's ~1-2 s device time.
     pending = None
     s_next = s
+    first = True
     while s_next < settings.samples:
         ns = min(spp_chunk, settings.samples - s_next)
         fin = render_chunk(arrays, bvh, basis, np.int32(s_next), int(ns),
                            seed)
-        if pending is not None:
-            _finish_chunk(*pending)
-        pending = (fin, s_next + ns, ns)
+        if first:
+            _finish_chunk(fin, s_next + ns, ns)
+            first = False
+        else:
+            if pending is not None:
+                _finish_chunk(*pending)
+            pending = (fin, s_next + ns, ns)
         s_next += ns
     if pending is not None:
         _finish_chunk(*pending)
