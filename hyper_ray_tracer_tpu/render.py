@@ -668,6 +668,61 @@ def compact_wavefront(state, slots, bucket):
     return _compact_finish(state, slots, idx_full, bucket, n_alive_i)
 
 
+@jax.custom_vjp
+def _packed_take(floats, base, slots, idx):
+    """ONE row gather for a compaction's float columns + (base, slots).
+
+    Why one gather: per-row gather cost on TPU is latency-per-row, not
+    bytes-per-row — a second [n, 2] int gather cost nearly as much as
+    the whole float pack (measured: merging bought ~20 ms/pass,
+    docs/DESIGN.md §20).
+
+    Why an INT32 pack with the floats bitcast in (not the ints bitcast
+    to f32): under GSPMD a sharded gather lowers to masked per-shard
+    contributions combined with f32 ARITHMETIC, which canonicalizes NaN
+    payloads — an RNG base whose bits decode as NaN came back corrupted
+    (caught by test_compacted_loss_matches_unsharded).  int32 adds with
+    0 are exact for every bit pattern, so the int pack survives any
+    masked-sum decomposition bit-for-bit.
+
+    Why custom_vjp: bitcast_convert_type has no derivative, but the
+    training paths differentiate straight through the compaction; the
+    backward is exactly the gather's transpose on the float columns —
+    one cotangent scatter-add — with base/slots/idx non-differentiable.
+
+    floats [n, F] f32, base [n] uint32, slots [n] int32, idx [m] int32
+    -> (floats[idx], base[idx], slots[idx])."""
+    pk = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(floats, jnp.int32),
+         jax.lax.bitcast_convert_type(base, jnp.int32)[:, None],
+         slots[:, None]],
+        axis=-1,
+    )[idx]
+    F = floats.shape[1]
+    return (jax.lax.bitcast_convert_type(pk[:, :F], jnp.float32),
+            jax.lax.bitcast_convert_type(pk[:, F], jnp.uint32),
+            pk[:, F + 1])
+
+
+def _packed_take_fwd(floats, base, slots, idx):
+    return _packed_take(floats, base, slots, idx), (idx, floats.shape[0])
+
+
+def _packed_take_bwd(res, ct):
+    idx, n = res
+    ct_f = ct[0]
+    # Gather transpose: scatter-add the float cotangents (idx can repeat
+    # on hole rows — same duplicate-add semantics as jnp's own gather
+    # VJP; hole lanes are masked downstream so their cotangents are 0).
+    d_floats = jnp.zeros((n, ct_f.shape[1]), ct_f.dtype).at[idx].add(ct_f)
+    z = np.zeros((n,), dtype=jax.dtypes.float0)
+    zi = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return (d_floats, z, z, zi)
+
+
+_packed_take.defvjp(_packed_take_fwd, _packed_take_bwd)
+
+
 def _compact_finish(state, slots, idx_full, bucket, n_alive):
     """Shared tail of the alive-first compactions: gather the first
     ``bucket`` lanes of the permutation ``idx_full``, gather the dropped
@@ -675,9 +730,8 @@ def _compact_finish(state, slots, idx_full, bucket, n_alive):
     (live lanes past the bucket).
 
     Row gathers over packed live fields (12 scalar gathers cost
-    ~156 ms at 1.44M lanes; two row gathers ~20 ms — see
-    intersect.pack_prim).  base round-trips through a bitcast so the
-    int rows share one matrix with the slot ids."""
+    ~156 ms at 1.44M lanes; one bit-safe packed row gather — see
+    ``_packed_take``)."""
     idx = idx_full[:bucket]
     idx_drop = idx_full[bucket:]
     packed_alive = jnp.arange(bucket) < n_alive
@@ -691,15 +745,11 @@ def _compact_finish(state, slots, idx_full, bucket, n_alive):
     # pending radiance must keep riding until a later milestone's tail
     # or the final wavefront flushes it, so the radiance columns stay in
     # the gather (compact_wavefront_part can drop them — see there).
-    # The int columns (RNG base, slot) ride the same row gather through
-    # bitcasts (pure bit movement — exact round-trip).
-    fpk = jnp.concatenate(
-        [state.o, state.d, state.time[:, None], state.throughput,
-         state.radiance,
-         jax.lax.bitcast_convert_type(state.base, jnp.float32)[:, None],
-         jax.lax.bitcast_convert_type(slots, jnp.float32)[:, None]],
-        axis=-1,
-    )[idx]
+    fpk, base_g, slots_g = _packed_take(
+        jnp.concatenate(
+            [state.o, state.d, state.time[:, None], state.throughput,
+             state.radiance], axis=-1),
+        state.base, slots, idx)
     # Dropped rows leave as a compact log entry; the tail is all real
     # lanes (idx_full is a permutation of n), each slot globally unique.
     drop = (state.radiance[idx_drop], slots[idx_drop])
@@ -707,13 +757,12 @@ def _compact_finish(state, slots, idx_full, bucket, n_alive):
         o=fpk[:, 0:3],
         d=fpk[:, 3:6],
         time=fpk[:, 6],
-        base=jax.lax.bitcast_convert_type(fpk[:, 13], jnp.uint32),
+        base=base_g,
         alive=packed_alive,
         throughput=fpk[:, 7:10],
         radiance=fpk[:, 10:13],
     )
-    return g, jax.lax.bitcast_convert_type(fpk[:, 14], jnp.int32), \
-        drop, overflow
+    return g, slots_g, drop, overflow
 
 
 def compact_wavefront_sorted(state, slots, bucket, key):
@@ -861,16 +910,13 @@ def compact_wavefront_part(state, slots, buckets, drop_bucket,
     # plain/sorted compactions CANNOT do this — their buckets carry
     # dead-lane headroom, see _compact_finish.)
     #
-    # The int columns (RNG base, slot) ride the SAME row gather through
-    # bitcasts — a gather is pure bit movement, so the uint32 patterns
-    # survive the f32 round-trip exactly and the second (int-pack) row
-    # gather of the old layout disappears.
-    fpk = jnp.concatenate(
-        [state.o, state.d, state.time[:, None], state.throughput,
-         jax.lax.bitcast_convert_type(state.base, jnp.float32)[:, None],
-         jax.lax.bitcast_convert_type(slots, jnp.float32)[:, None]],
-        axis=-1,
-    )[idx]
+    # ONE bit-safe packed row gather for all columns (``_packed_take``:
+    # the GSPMD NaN-canonicalization story and the custom gradient).
+    fpk, base_g, slots_g = _packed_take(
+        jnp.concatenate(
+            [state.o, state.d, state.time[:, None], state.throughput],
+            axis=-1),
+        state.base, slots, idx)
 
     # Drop-region log entry.  Hole rows (beyond the actual drop count)
     # gather lane 0; remap their slot to a distinct out-of-range value so
@@ -885,13 +931,13 @@ def compact_wavefront_part(state, slots, buckets, drop_bucket,
     drop = (state.radiance[idx_drop], drop_slot)
 
     new_slots = jnp.where(
-        valid, jax.lax.bitcast_convert_type(fpk[:, 11], jnp.int32),
+        valid, slots_g,
         np.int32(hole_base) + jnp.arange(b_total, dtype=jnp.int32))
     g = WavefrontState(
         o=fpk[:, 0:3],
         d=fpk[:, 3:6],
         time=fpk[:, 6],
-        base=jax.lax.bitcast_convert_type(fpk[:, 10], jnp.uint32),
+        base=base_g,
         alive=valid,
         throughput=fpk[:, 7:10],
         radiance=jnp.zeros((b_total, 3), state.radiance.dtype),
