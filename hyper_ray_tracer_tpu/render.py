@@ -78,6 +78,12 @@ _SKY_BLUE = np.float32([0.5, 0.7, 1.0])
 #   300,000    986 /  984     57 / 743    4,361 / 12,524
 #   1,000,000 3419 / 3425     87 / 2243   2,566 / 17,955
 #
+# The cluster "secondary" column above traces UNSORTED uniform rays — a
+# workload the renderer never sees (survivors are coherence-sorted at
+# every milestone).  Round 5 (tools/prof_sec1m.py): the same 1M-prim
+# secondary rays drop 2,224 -> 523 ms once sorted; bench_crossover.py
+# now reports both columns (docs/DESIGN.md §18).
+#
 # Two conclusions drive the auto policy: (1) gather-based BVH traversal
 # never wins overall — per-ray divergent node cursors force [N]-gathers
 # every step (~1.8 ns/elem); its O(log P) scaling finally beats the
