@@ -80,6 +80,30 @@ SUPER_FANOUT = 64
 # tests); the default stays 1.
 VISIT_WIDTH = 1
 
+# SUPER-BINNED traversal (round 5; docs/DESIGN.md §22): for two-level
+# static-sphere runs, re-tile the rays BY SUPER MEMBERSHIP instead of
+# launch order — every (lane, super) overlap pair becomes one bin row,
+# each super's bins fold only over that super's member clusters, and a
+# scatter-merge carries (t_best, best) between supers.  This removes
+# the tile-UNION effect entirely (a lane never visits a cluster only
+# its tile-mates overlap), which was the measured wall on incoherent
+# secondary bounces (§14/§18).  Prototype tools/proto_binned.py at 1M
+# prims: sorted secondary 567 -> 226 ms with exact parity.  Bins have a
+# static per-super capacity (BINNED_CAP_FACTOR * n / S, BIN_TILE
+# rounded); lanes whose pairs overflow a bin are re-traced exactly by
+# the ORIGINAL per-tile union loop in a residual pass, so capacity is a
+# performance knob, never a correctness one.
+BINNED_SECONDARY = True
+BINNED_CAP_FACTOR = 8
+BIN_TILE = 1024
+# Binning granularity: clusters per binning-super.  Independent of the
+# visit hierarchy's SUPER_FANOUT — finer binning supers have tighter
+# boxes (fewer false pairs), isolate outlier clusters (the flake's
+# r=1000 ground) into smaller excluded groups, and bound each bin
+# tile's member loop; coarser ones amortize per-super overhead.
+# Swept on the 598k flake (tools/bench_flake): see DESIGN.md §22.
+BINNED_FANOUT = 32
+
 
 def _super_bounds_np(r):
     """Blockwise super-cluster AABBs of a run ([S,3] min/max, f32): the
@@ -90,6 +114,25 @@ def _super_bounds_np(r):
     smin = np.stack([r.cmin[s * F:(s + 1) * F].min(0) for s in range(S)])
     smax = np.stack([r.cmax[s * F:(s + 1) * F].max(0) for s in range(S)])
     return smin.astype(np.float32), smax.astype(np.float32)
+
+
+def _binned_bounds_np(r):
+    """BINNED_FANOUT-granular blockwise bounds of a run: ([S,3] min,
+    [S,3] max, [S,F,3] member min, [S,F,3] member max; NaN member pads
+    — the DFS cluster order makes consecutive blocks compact, exactly
+    like _super_bounds_np at the visit hierarchy's fanout)."""
+    F = BINNED_FANOUT
+    S = -(-r.n_clusters // F)
+    pad = S * F - r.n_clusters
+    cmin = np.concatenate(
+        [r.cmin, np.full((pad, 3), np.nan, np.float32)])
+    cmax = np.concatenate(
+        [r.cmax, np.full((pad, 3), np.nan, np.float32)])
+    mmin = cmin.reshape(S, F, 3)
+    mmax = cmax.reshape(S, F, 3)
+    smin = np.nanmin(mmin, axis=1).astype(np.float32)
+    smax = np.nanmax(mmax, axis=1).astype(np.float32)
+    return smin, smax, mmin.astype(np.float32), mmax.astype(np.float32)
 
 
 def make_coherence_key(layout, cell_bits: int = 4, scheme: str = None):
@@ -386,7 +429,7 @@ def make_cluster_intersector(static, layout):
 
         return run_loop
 
-    def _make_run_loop2(run, hit_fn, sb, mb, kind):
+    def _make_run_loop2(run, hit_fn, sb, mb, kind, fanout=None):
         """Two-level visit loop: outer over SUPER-clusters nearest-first,
         inner over each super's member clusters nearest-first.  Pure
         pruning — a super (or member) is skipped only when no lane's
@@ -398,7 +441,7 @@ def make_cluster_intersector(static, layout):
         cw = run.width
         smin, smax = sb
         mmin, mmax = mb
-        F = SUPER_FANOUT
+        F = SUPER_FANOUT if fanout is None else fanout
 
         def run_loop(geom, sph, ray_args, t_min, k0, t_best, best):
             o_l, inv_l, act_l = ray_args[4:7]
@@ -459,6 +502,184 @@ def make_cluster_intersector(static, layout):
 
         return run_loop
 
+    def _make_binned_pass(run, kind, hit_fn, keep):
+        """SUPER-BINNED pass over one two-level run (BINNED_SECONDARY
+        notes): rays are re-tiled by super membership — one bin row per
+        (lane, super) overlap pair — so each super's folds touch only
+        lanes that genuinely overlap it and only its own member
+        clusters.  Sequential supers carry (t_best, best) through the
+        scan (scatter-merge per bin tile; bin rows are unique within a
+        super, so the scatters declare unique indices).  Returns the
+        per-lane ``over`` mask of lanes that had a pair dropped by the
+        static bin capacity — the caller re-traces exactly those lanes
+        with the original union loop (correctness never depends on the
+        capacity).
+
+        ``keep`` ([S] bool, host): supers binned here.  OUTLIER supers
+        (box diagonal > 8x the median — e.g. the super holding the
+        flake's r=1000 ground sphere, whose box covers the whole scene
+        and would put ~77% of all lanes in one overflowing bin) are
+        excluded at build time; the caller sweeps them per-tile in
+        phase 1, which also pins their t_best BEFORE the binning cull
+        (the ground hit is what lets miss-bound lanes skip bins)."""
+        cw = run.width
+        F = BINNED_FANOUT
+        smin_a, smax_a, mminp, mmaxp = _binned_bounds_np(run)
+        keep_ids = np.flatnonzero(keep)
+        S = int(keep_ids.shape[0])
+        smin = jnp.asarray(smin_a[keep_ids])
+        smax = jnp.asarray(smax_a[keep_ids])
+        mminr = jnp.asarray(mminp[keep_ids])
+        mmaxr = jnp.asarray(mmaxp[keep_ids])
+        base_s = jnp.asarray(
+            (run.base + keep_ids.astype(np.int64) * F * cw)
+            .astype(np.int32))
+
+        def binned_pass(geom, sph, o, d, time, bits, active, t_min,
+                        t_best, best):
+            n = o.shape[0]
+            # GLOBAL-CONTIGUOUS pair buffer: supers' bins are laid out
+            # back to back at their true (dynamic) offsets, so a skewed
+            # super can fill as much of the buffer as it needs — the
+            # measured flake skew (one central super holding 2/3 of all
+            # pairs) overflowed per-super fixed caps at any sane factor.
+            # Capacity is pairs-per-lane: overflow only when the MEAN
+            # kept-super overlap exceeds BINNED_CAP_FACTOR (measured
+            # 2-4 on the flake's real wavefronts).
+            cap_total = max(BIN_TILE,
+                            -(-(BINNED_CAP_FACTOR * n) // BIN_TILE)
+                            * BIN_TILE)
+            inv = 1.0 / d
+            # t_best-aware super cull, [n, S] pure VPU (the same
+            # lane-granular test as _tile_cull, at super granularity).
+            t0 = (smin[None] - o[:, None]) * inv[:, None]
+            t1 = (smax[None] - o[:, None]) * inv[:, None]
+            lo = jnp.minimum(t0, t1).max(-1)
+            hi = jnp.maximum(t0, t1).min(-1)
+            ovl = ((hi > jnp.maximum(lo, t_min))
+                   & (lo < t_best[:, None]) & active[:, None])
+            # Rank within super: one [n, S] axis-0 cumsum (measured as
+            # cheap as a single [n] cumsum — the scan dependency is
+            # along n, the S columns ride the VPU lanes).
+            cum = jnp.cumsum(ovl.astype(jnp.int32), axis=0)
+            counts = cum[-1]  # [S]
+            offs = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32),
+                 jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+            rank = cum - 1
+            dest = offs[None] + rank
+            okp = ovl & (dest < cap_total)
+            over = (ovl & ~okp).any(axis=1)
+            lane = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[:, None], (n, S))
+            # One bit-safe packed ray matrix for the bin-tile gathers:
+            # int32 with the f32 columns bitcast in — 1 row gather per
+            # tile instead of 4, and exact under any GSPMD masked-sum
+            # decomposition (render._packed_take's story; traversal is
+            # under stop_gradient, so no VJP is needed here).
+            _f2i = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
+                a, jnp.int32)
+            rpk = jnp.concatenate(
+                [_f2i(o), _f2i(d), _f2i(time)[:, None],
+                 jax.lax.bitcast_convert_type(bits, jnp.int32)[:, None]],
+                axis=-1)  # [n, 8]
+            _i2f = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
+                a, jnp.float32)
+            # Pad the buffer by one tile so per-super dynamic_slice
+            # windows never clamp (clamping would shift rows under the
+            # position mask).
+            bins = (
+                jnp.full(cap_total + BIN_TILE, -1, jnp.int32)
+                .at[jnp.where(okp, dest, cap_total + BIN_TILE)
+                    .reshape(-1)]
+                .set(lane.reshape(-1), mode="drop", unique_indices=True)
+            )
+
+            def super_body(carry, xs):
+                t_best, best = carry
+                mmin_s, mmax_s, bs, off_s, cnt_s = xs
+                cnt_eff = jnp.clip(jnp.minimum(cnt_s, cap_total - off_s),
+                                   0)
+                trips = -(-cnt_eff // BIN_TILE)
+
+                def cond2(c2):
+                    return c2[0] < trips
+
+                def tile_body(c2):
+                    k, t_best, best = c2
+                    pos0 = off_s + k * BIN_TILE
+                    bt = jax.lax.dynamic_slice_in_dim(
+                        bins, pos0, BIN_TILE, 0)
+                    val = ((k * BIN_TILE
+                            + jnp.arange(BIN_TILE, dtype=jnp.int32)
+                            < cnt_eff) & (bt >= 0))
+                    idxc = jnp.maximum(bt, 0)
+                    rows = rpk[idxc]
+                    o_l = _i2f(rows[:, 0:3])
+                    d_l = _i2f(rows[:, 3:6])
+                    time_l = _i2f(rows[:, 6])
+                    bits_l = jax.lax.bitcast_convert_type(
+                        rows[:, 7], jnp.uint32)
+                    inv_l = 1.0 / d_l
+                    tb = jnp.where(val, t_best[idxc],
+                                   jnp.float32(-BIG))
+                    bb = best[idxc]
+                    o_b = o_l[:, None, :]
+                    d_b = d_l[:, None, :]
+                    a_l = (d_l * d_l).sum(-1)[:, None]
+                    ray_args = (o_b, d_b, time_l[:, None],
+                                bits_l[:, None], o_l, inv_l, val, None,
+                                a_l)
+                    # Member-cluster cull within this super.
+                    t0 = (mmin_s[None] - o_l[:, None]) * inv_l[:, None]
+                    t1 = (mmax_s[None] - o_l[:, None]) * inv_l[:, None]
+                    lo = jnp.minimum(t0, t1).max(-1)
+                    hi = jnp.maximum(t0, t1).min(-1)
+                    h = ((hi > jnp.maximum(lo, t_min))
+                         & (lo < tb[:, None]) & val[:, None])
+                    entry = jnp.where(h, lo, BIG).min(0)  # [F]
+                    order_f = jnp.argsort(entry).astype(jnp.int32)
+                    entry_s = jnp.sort(entry)
+                    count = (entry_s < jnp.float32(0.5) * BIG).sum(
+                        dtype=jnp.int32)
+
+                    def cond3(c3):
+                        kk, tb3, _ = c3
+                        return (kk < count) & (entry_s[kk] < tb3.max())
+
+                    def body3(c3):
+                        kk, tb3, bb3 = c3
+                        start = bs + order_f[kk] * cw
+                        t = _cluster_t(hit_fn, kind, geom, sph, start,
+                                       cw, ray_args, t_min, tb3)
+                        tb3, bb3 = _fold(start, t, tb3, bb3)
+                        return kk + 1, tb3, bb3
+
+                    _, tb, bb = jax.lax.while_loop(
+                        cond3, body3, (count * 0, tb, bb))
+                    # Scatter-merge (rows unique within the super bin;
+                    # pads/masked rows routed to the dropped slot n).
+                    sidx = jnp.where(val, bt, n)
+                    upd = val & (tb < t_best[idxc])
+                    t_new = jnp.where(upd, tb, t_best[idxc])
+                    b_new = jnp.where(upd, bb, best[idxc])
+                    t_best = t_best.at[sidx].set(
+                        t_new, mode="drop", unique_indices=True)
+                    best = best.at[sidx].set(
+                        b_new, mode="drop", unique_indices=True)
+                    return k + 1, t_best, best
+
+                _, t_best, best = jax.lax.while_loop(
+                    cond2, tile_body, (jnp.int32(0), t_best, best))
+                return (t_best, best), None
+
+            (t_best, best), _ = jax.lax.scan(
+                super_body, (t_best, best),
+                (mminr, mmaxr, base_s, offs, counts))
+            return t_best, best, over
+
+        return binned_pass
+
     run_kinds = ["sphere" if sph else "f32" for sph in run_sphere]
     run_loops = [
         _make_run_loop2(r, fn, sb, mb, kd) if two
@@ -469,7 +690,55 @@ def make_cluster_intersector(static, layout):
     ]
     any_sphere = any(k != "f32" for k in run_kinds)
 
-    def trace(geom, o, d, time, t_min, ray_bits, active):
+    # Two-level static-sphere runs take the super-binned pass
+    # (BINNED_SECONDARY notes); their union loop stays built as the
+    # exact residual for bin-capacity overflow lanes.  OUTLIER supers
+    # (diag > 8x median — the outlier-robust bound trick from
+    # make_coherence_key, same root cause: a giant ground sphere in the
+    # run) stay on the per-tile path in phase 1, where their early hit
+    # also tightens t_best before the binning cull.
+    binned_i = []
+    binned_passes = []
+    outlier_loops = []
+    for i, (two, kd) in enumerate(zip(two_level, run_kinds)):
+        if not (BINNED_SECONDARY and two and kd == "sphere"):
+            continue
+        smin_a, smax_a, mminp, mmaxp = _binned_bounds_np(layout.runs[i])
+        diag = np.linalg.norm(smax_a - smin_a, axis=1)
+        keep = diag <= 8.0 * max(float(np.median(diag)), 1e-30)
+        if not keep.any():
+            continue
+        binned_i.append(i)
+        binned_passes.append(_make_binned_pass(
+            layout.runs[i], run_kinds[i], run_fns[i], keep))
+        if not keep.all():
+            # Per-tile loop over ONLY the outlier binning-supers: the
+            # kept supers' boxes are NaN-poisoned, so _tile_cull never
+            # visits them here (same granularity as the binning —
+            # BINNED_FANOUT — so exclusion and binning partition the
+            # clusters exactly).
+            nan3 = np.full((1, 3), np.nan, np.float32)
+            so = (jnp.asarray(np.where(keep[:, None], nan3, smin_a)),
+                  jnp.asarray(np.where(keep[:, None], nan3, smax_a)))
+            mo = (jnp.asarray(mminp.reshape(-1, 3)),
+                  jnp.asarray(mmaxp.reshape(-1, 3)))
+            outlier_loops.append(_make_run_loop2(
+                layout.runs[i], run_fns[i], so, mo,
+                run_kinds[i], fanout=BINNED_FANOUT))
+    main_loops = [loop for i, loop in enumerate(run_loops)
+                  if i not in binned_i] + outlier_loops
+    resid_loops = [run_loops[i] for i in binned_i]
+
+    def trace(geom, o, d, time, t_min, ray_bits, active, secondary=None):
+        """``secondary``: traced bool (or None = True) — binned
+        membership re-tiling pays off on INCOHERENT rays; camera
+        bounces (coherent image-block tiles share their cluster working
+        set) measured 2.3x faster on the union path, so bounce_step
+        passes ``bounce_idx > 0``.  A traced flag (lax.cond over the
+        two phase-2/3 forms) keeps every caller — probe, scheduled
+        segments, plain scan — compiling the SAME program, so
+        scheduled-vs-counted bit-identity cannot depend on which
+        variant a segment picked."""
         n = o.shape[0]
         pref = RAY_TILE_TWO_LEVEL if any(two_level) else RAY_TILE
         tile = pref if n >= pref else _round8(n)
@@ -488,21 +757,6 @@ def make_cluster_intersector(static, layout):
             ray_bits = pad(ray_bits, 0)
             active = pad(active, False)
 
-        # Box culling happens INSIDE the tile body (per run, after the
-        # always-on tail and any preceding runs tightened t_best), so the
-        # per-lane ``lo < t_best`` test is live — see _tile_cull.  The old
-        # global Phase A (a dense [N, C] slab pass before the scan) knew
-        # no t_best and culled on geometric overlap alone: on the 598k
-        # flake ~55% of post-bounce-0 lanes are miss-bound and forced
-        # every overlapped super to be visited (docs/DESIGN.md §14).
-        xs = (
-            o.reshape(t_tiles, tile, 3),
-            d.reshape(t_tiles, tile, 3),
-            time.reshape(t_tiles, tile),
-            ray_bits.reshape(t_tiles, tile),
-            active.reshape(t_tiles, tile),
-        )
-
         # Packed static-sphere matrix for the fast visit path (loop-
         # invariant: XLA hoists it out of the tile scan).
         sph = None
@@ -510,41 +764,96 @@ def make_cluster_intersector(static, layout):
             sph = jnp.concatenate([geom.p0, geom.radius[:, None]],
                                   axis=-1)
 
-        # ---- Phase B: per-tile culled sweeps.
-        def tile_body(_, xs_t):
-            o_l, d_l, time_l, bits_l, act_l = xs_t
-            o_b = o_l[:, None, :]
-            d_b = d_l[:, None, :]
-            time_b = time_l[:, None]
-            bits_b = bits_l[:, None]
-            a_l = (d_l * d_l).sum(-1)[:, None]  # [tile, 1]
-            ray_args = (o_b, d_b, time_b, bits_b, o_l, 1.0 / d_l, act_l,
-                        None, a_l)
-            # Device-varying inits (shard_map-safe); inactive lanes pinned
-            # at -BIG so nothing can beat them and they never inflate the
-            # early-termination max.
-            t_best = jnp.where(act_l, BIG + o_l[:, 0] * 0.0,
-                               jnp.float32(-BIG))
-            best = act_l.astype(jnp.int32) * 0 - 1
-            k0 = best[0] * 0
+        # Box culling happens INSIDE the tile body (per run, after the
+        # always-on tail and any preceding runs tightened t_best), so the
+        # per-lane ``lo < t_best`` test is live — see _tile_cull.  The old
+        # global Phase A (a dense [N, C] slab pass before the scan) knew
+        # no t_best and culled on geometric overlap alone: on the 598k
+        # flake ~55% of post-bounce-0 lanes are miss-bound and forced
+        # every overlapped super to be visited (docs/DESIGN.md §14).
+        def tile_sweep(loops, include_tail, act_flat, tb0, bb0):
+            """One per-tile culled sweep over ``loops``; carries in the
+            per-lane (t_best, best) from earlier phases and returns the
+            merged flat result (lanes inactive IN THIS PHASE keep their
+            carried values)."""
+            xs = (
+                o.reshape(t_tiles, tile, 3),
+                d.reshape(t_tiles, tile, 3),
+                time.reshape(t_tiles, tile),
+                ray_bits.reshape(t_tiles, tile),
+                act_flat.reshape(t_tiles, tile),
+                tb0.reshape(t_tiles, tile),
+                bb0.reshape(t_tiles, tile),
+            )
 
-            # Always-on tail first: cheap, and a tight initial t_best lets
-            # the cluster loops terminate earlier.
-            for s, w, fn in tail_fns:
-                pf = _tile_slice(geom, s, w)
-                t = fn(pf, o_b, d_b, time_b, t_min, t_best[:, None],
-                       bits_b, jnp)
-                t_best, best = _fold(s, t, t_best, best)
+            def tile_body(_, xs_t):
+                o_l, d_l, time_l, bits_l, act_l, tb_l, bb_l = xs_t
+                o_b = o_l[:, None, :]
+                d_b = d_l[:, None, :]
+                time_b = time_l[:, None]
+                bits_b = bits_l[:, None]
+                a_l = (d_l * d_l).sum(-1)[:, None]  # [tile, 1]
+                ray_args = (o_b, d_b, time_b, bits_b, o_l, 1.0 / d_l,
+                            act_l, None, a_l)
+                # Device-varying inits (shard_map-safe); inactive lanes
+                # pinned at -BIG so nothing can beat them and they never
+                # inflate the early-termination max.
+                t_best = jnp.where(act_l, tb_l + o_l[:, 0] * 0.0,
+                                   jnp.float32(-BIG))
+                best = bb_l
+                k0 = jnp.int32(0) * best[0]
 
-            for loop in run_loops:
-                t_best, best = loop(geom, sph, ray_args, t_min, k0,
-                                    t_best, best)
-            return None, (t_best, best)
+                if include_tail:
+                    # Always-on tail first: cheap, and a tight initial
+                    # t_best lets the cluster loops terminate earlier.
+                    for s, w, fn in tail_fns:
+                        pf = _tile_slice(geom, s, w)
+                        t = fn(pf, o_b, d_b, time_b, t_min,
+                               t_best[:, None], bits_b, jnp)
+                        t_best, best = _fold(s, t, t_best, best)
 
-        _, (tb, bb) = jax.lax.scan(tile_body, None, xs)
-        t_best = tb.reshape(n_pad)[:n]
-        best = bb.reshape(n_pad)[:n]
-        t_best = jnp.where(active[:n], t_best, BIG)
-        return t_best, best
+                for loop in loops:
+                    t_best, best = loop(geom, sph, ray_args, t_min, k0,
+                                        t_best, best)
+                t_best = jnp.where(act_l, t_best, tb_l)
+                best = jnp.where(act_l, best, bb_l)
+                return None, (t_best, best)
+
+            _, (tb, bb) = jax.lax.scan(tile_body, None, xs)
+            return tb.reshape(n_pad), bb.reshape(n_pad)
+
+        tb = jnp.where(active, jnp.float32(BIG), jnp.float32(-BIG))
+        bb = jnp.full(n_pad, -1, jnp.int32)
+        # Phase 1: tail + every non-binned run (including the outlier
+        # supers of binned runs), in launch-tile order.
+        tb, bb = tile_sweep(main_loops, True, active, tb, bb)
+        if binned_passes:
+            if secondary is None:
+                secondary = jnp.bool_(True)
+
+            def _binned(args):
+                tb, bb = args
+                # Phase 2: super-binned passes (membership re-tiling).
+                over_any = jnp.zeros(n_pad, bool)
+                for bp in binned_passes:
+                    tb, bb, over = bp(geom, sph, o, d, time, ray_bits,
+                                      active, t_min, tb, bb)
+                    over_any = over_any | over
+                # Phase 3: exact residual — lanes whose pairs
+                # overflowed the buffer re-run the ORIGINAL union loop
+                # (with phase-2 t_best, so it is pure tightening).
+                # All-inactive tiles cull to zero visits and cost only
+                # the slab math.
+                res_act = active & over_any
+                return tile_sweep(resid_loops, False, res_act, tb, bb)
+
+            def _union(args):
+                tb, bb = args
+                return tile_sweep(resid_loops, False, active, tb, bb)
+
+            tb, bb = jax.lax.cond(secondary, _binned, _union, (tb, bb))
+
+        t_best = jnp.where(active[:n], tb[:n], BIG)
+        return t_best, bb[:n]
 
     return trace

@@ -300,9 +300,10 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         cluster_layout = layout
 
         def trace(geom, bvh, o, d, time, t_min, ray_bits, active,
-                  rows=None):
+                  rows=None, secondary=None):
             assert rows is None, "cluster mode has no partitioned form"
-            return cluster_trace(geom, o, d, time, t_min, ray_bits, active)
+            return cluster_trace(geom, o, d, time, t_min, ray_bits,
+                                 active, secondary=secondary)
 
         part_groups = ()
     else:
@@ -380,10 +381,21 @@ def make_ray_colorer(scene: Scene, width: int, height: int, depth: int,
         # BVH while_loop has no VJP) and shrinks backward residuals from
         # O(P) per bounce to O(1).
         #
-        t_hit, prim = trace(
-            geom, bvh, jax.lax.stop_gradient(o),
-            jax.lax.stop_gradient(d), time, T_MIN, bb, alive, rows,
-        )
+        if mode == "cluster":
+            # Camera bounces (coherent image-block tiles) take the
+            # union path, secondary bounces the super-binned one — a
+            # traced flag so every caller compiles one program
+            # (cluster_sweep.make_cluster_intersector's trace notes).
+            t_hit, prim = trace(
+                geom, bvh, jax.lax.stop_gradient(o),
+                jax.lax.stop_gradient(d), time, T_MIN, bb, alive, rows,
+                secondary=bounce_idx > 0,
+            )
+        else:
+            t_hit, prim = trace(
+                geom, bvh, jax.lax.stop_gradient(o),
+                jax.lax.stop_gradient(d), time, T_MIN, bb, alive, rows,
+            )
         t_hit = jax.lax.stop_gradient(t_hit)
         hit = prim >= 0
 

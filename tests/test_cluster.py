@@ -237,3 +237,49 @@ def test_coherence_sort_bit_identical():
         outs.append(np.asarray(run(arrays, bvh, basis, perm, 0, SPP,
                                    np.uint32(3))))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_binned_traversal_equals_sweep_and_overflow(monkeypatch):
+    """Round-5 super-binned traversal (ops/cluster_sweep.py
+    BINNED_SECONDARY): membership re-tiling must agree with the plain
+    sweep, at a roomy bin capacity AND with the capacity sabotaged so
+    pairs overflow and the exact residual union loop must cover the
+    dropped lanes (capacity is a performance knob, never correctness)."""
+    from hyper_ray_tracer_tpu.models import clusters as C
+    from hyper_ray_tracer_tpu.models.builders import sphereflake
+    from hyper_ray_tracer_tpu.ops import cluster_sweep as CS
+
+    monkeypatch.setattr(C, "CLUSTER_TARGET_PRIMS", 16)
+    monkeypatch.setattr(CS, "SUPER_MIN_CLUSTERS", 8)
+    monkeypatch.setattr(CS, "SUPER_FANOUT", 5)
+    assert CS.BINNED_SECONDARY  # the default path under test
+
+    scene = sphereflake(3, "sphereflake-3")
+    _, lay = build_clusters(scene.arrays.geom, scene.static.n_prims)
+    assert any(
+        r.n_clusters >= CS.SUPER_MIN_CLUSTERS
+        and r.types == {__import__(
+            "hyper_ray_tracer_tpu.ops.intersect", fromlist=["PT_SPHERE"]
+        ).PT_SPHERE}
+        for r in lay.runs
+    ), "test no longer forces a binned-eligible run"
+
+    s = dict(width=24, height=14, samples=2, depth=6)
+    img_sweep = render_image(scene, RenderSettings(**s, intersector="sweep"))
+    img_bin = render_image(scene, RenderSettings(**s, intersector="cluster"))
+    np.testing.assert_allclose(img_bin, img_sweep, atol=1e-5, rtol=0)
+
+    # Sabotage the capacity: BIN_TILE/CAP_FACTOR floored so bins hold
+    # almost nothing and most pairs overflow into the residual path.
+    monkeypatch.setattr(CS, "BIN_TILE", 8)
+    monkeypatch.setattr(CS, "BINNED_CAP_FACTOR", 1)
+    img_over = render_image(scene, RenderSettings(**s, intersector="cluster"))
+    np.testing.assert_allclose(img_over, img_sweep, atol=1e-5, rtol=0)
+
+    # And binned OFF entirely still agrees (the residual union loop is
+    # the round-4 two-level path).
+    monkeypatch.setattr(CS, "BINNED_SECONDARY", False)
+    monkeypatch.setattr(CS, "BIN_TILE", 1024)
+    monkeypatch.setattr(CS, "BINNED_CAP_FACTOR", 8)
+    img_off = render_image(scene, RenderSettings(**s, intersector="cluster"))
+    np.testing.assert_allclose(img_off, img_sweep, atol=1e-5, rtol=0)
