@@ -68,21 +68,21 @@ _SKY_WHITE = np.float32([1.0, 1.0, 1.0])
 _SKY_BLUE = np.float32([0.5, 0.7, 1.0])
 
 # Measured crossover (tools/bench_crossover.py, TPU v5e, 90k rays,
-# synthetic K-sphere scenes; ms per trace, camera / secondary rays;
-# round-4 re-run with the two-level cluster hierarchy):
+# synthetic K-sphere scenes; ms per trace, camera / secondary rays.
+# Camera column: round-4 run (union path — what production camera
+# bounces use); secondary column: round-5 run with the SUPER-BINNED
+# secondary traversal (docs/DESIGN.md §22), raw-unsorted rays:
 #
 #   K         sweep          cluster      bvh (ray-scaled)
-#   3,400       37 /   37     29 /  32    1,616 /  2,232
-#   30,000     123 /  126     34 /  85    2,539 /  5,001
-#   100,000    348 /  345     43 / 333    3,265 /  8,153
-#   300,000    986 /  984     57 / 743    4,361 / 12,524
-#   1,000,000 3419 / 3425     87 / 2243   2,566 / 17,955
+#   3,400       37 /   37     29 /  37    1,616 /  2,250
+#   30,000     123 /  126     34 /  86    2,539 /  5,043
+#   100,000    348 /  345     43 /  94    3,265 /  8,155
+#   300,000    986 /  984     57 / 115    4,361 / 12,535
+#   1,000,000 3419 / 3425     87 / 200    2,566 / 18,886
 #
-# The cluster "secondary" column above traces UNSORTED uniform rays — a
-# workload the renderer never sees (survivors are coherence-sorted at
-# every milestone).  Round 5 (tools/prof_sec1m.py): the same 1M-prim
-# secondary rays drop 2,224 -> 523 ms once sorted; bench_crossover.py
-# now reports both columns (docs/DESIGN.md §18).
+# (Round 4's cluster secondary read 32/85/333/743/2,243 — the binned
+# re-tiling is worth 11.2x at 1M and makes the secondary trace
+# order-independent: coherence-sorted rays measure the same 200 ms.)
 #
 # Two conclusions drive the auto policy: (1) gather-based BVH traversal
 # never wins overall — per-ray divergent node cursors force [N]-gathers

@@ -116,9 +116,14 @@ def main() -> int:
                 _, layout = build_clusters(scene.arrays.geom,
                                            scene.static.n_prims)
                 tr = make_cluster_intersector(scene.static, layout)
-                trace = jax.jit(lambda o, d, t, b, a, _g=arrays.geom,
-                                _t=tr: _t(_g, o, d, t, T_MIN, b, a)[0]
-                                .sum())
+                # secondary=False/True: production camera bounces take
+                # the union path, secondary bounces the binned one
+                # (cluster_sweep trace notes) — measure each column on
+                # the variant the renderer actually runs for it.
+                trace = jax.jit(lambda o, d, t, b, a, sec=False,
+                                _g=arrays.geom, _t=tr:
+                                _t(_g, o, d, t, T_MIN, b, a,
+                                   secondary=sec)[0].sum())
                 from hyper_ray_tracer_tpu.ops.cluster_sweep import (
                     make_coherence_key,
                 )
@@ -144,14 +149,17 @@ def main() -> int:
                 t_cam = bench(trace, state.o[sl], state.d[sl],
                               state.time[sl], state.base[sl],
                               state.alive[sl]) * div
+                sec = (True,) if mode == "cluster" else ()
                 t_sec = bench(trace, o2[sl], d2[sl], state.time[sl],
-                              state.base[sl], state.alive[sl]) * div
+                              state.base[sl], state.alive[sl],
+                              *sec) * div
                 t_srt = float("nan")
                 if mode == "cluster":
                     o3 = o2[jnp.asarray(sort_order)]
                     d3 = d2[jnp.asarray(sort_order)]
                     t_srt = bench(trace, o3[sl], d3[sl], state.time[sl],
-                                  state.base[sl], state.alive[sl]) * div
+                                  state.base[sl], state.alive[sl],
+                                  *sec) * div
             except Exception as e:  # OOM / compile limits at huge K
                 print(f"  {mode} failed at K={K}: {type(e).__name__}",
                       file=sys.stderr)

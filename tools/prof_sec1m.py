@@ -69,8 +69,10 @@ def main() -> int:
     geom = jax.device_put(geom)
     tr = make_cluster_intersector(scene.static, layout)
     key_fn = make_coherence_key(layout)
-    trace = jax.jit(lambda o, d, t, b, a: tr(geom, o, d, t, T_MIN, b, a)[0]
-                    .sum())
+    # Camera rows use the production camera variant (union path);
+    # secondary rows the binned one (cluster_sweep trace notes).
+    trace = jax.jit(lambda o, d, t, b, a, sec=True: tr(
+        geom, o, d, t, T_MIN, b, a, secondary=sec)[0].sum())
 
     colorer = make_ray_colorer(scene, W, H, 2, "sweep",
                                differentiable=False)
@@ -83,7 +85,7 @@ def main() -> int:
     o2 = jnp.asarray(rng.uniform(-half, half, (N, 3)).astype(np.float32))
     d2 = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
 
-    t_cam = bench(trace, st.o, st.d, st.time, st.base, st.alive)
+    t_cam = bench(trace, st.o, st.d, st.time, st.base, st.alive, False)
     print(f"K={K} camera     {t_cam*1e3:9.1f} ms", flush=True)
     t_raw = bench(trace, o2, d2, st.time, st.base, st.alive)
     print(f"K={K} sec raw    {t_raw*1e3:9.1f} ms", flush=True)
