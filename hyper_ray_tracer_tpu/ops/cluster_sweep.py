@@ -822,8 +822,12 @@ def make_cluster_intersector(static, layout):
             _, (tb, bb) = jax.lax.scan(tile_body, None, xs)
             return tb.reshape(n_pad), bb.reshape(n_pad)
 
-        tb = jnp.where(active, jnp.float32(BIG), jnp.float32(-BIG))
-        bb = jnp.full(n_pad, -1, jnp.int32)
+        # Device-varying inits (shard_map-safe: a replicated constant
+        # carry would mismatch the loops' varying outputs under manual
+        # sharding — the VMA lattice): derive both from ray data.
+        tb = jnp.where(active, jnp.float32(BIG) + o[:, 0] * 0.0,
+                       jnp.float32(-BIG))
+        bb = active.astype(jnp.int32) * 0 - 1
         # Phase 1: tail + every non-binned run (including the outlier
         # supers of binned runs), in launch-tile order.
         tb, bb = tile_sweep(main_loops, True, active, tb, bb)
